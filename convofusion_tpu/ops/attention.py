@@ -1,0 +1,86 @@
+"""Multi-head attention that also returns head-averaged attention weights.
+
+The reference leans on torch ``nn.MultiheadAttention`` everywhere
+(convofusion/models/operator/cross_attention.py) and consumes the returned
+attention matrices for word-excitation guidance and result dumps.  This JAX
+version keeps the same contract: ``(out, weights)`` with weights averaged
+over heads, shape (B, Tq, Tk).
+
+Layout is batch-first; the matmuls are shaped so XLA maps them straight onto
+the MXU ((B*Tq, D) x (D, D) projections and batched (Tq, Tk) logits).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+_BIG_NEG = -1e9
+
+xavier_uniform = nn.initializers.xavier_uniform()
+
+
+class MultiheadAttention(nn.Module):
+    d_model: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query,
+        key,
+        value,
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        attn_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        """query (B, Tq, D); key/value (B, Tk, D).
+
+        key_padding_mask: (B, Tk) bool, True = PAD (torch convention).
+        attn_mask: (Tq, Tk) additive or bool mask, True = disallowed.
+        """
+        d, h = self.d_model, self.num_heads
+        head_dim = d // h
+        assert head_dim * h == d
+
+        def proj(name):
+            return nn.Dense(
+                d, kernel_init=xavier_uniform, dtype=self.dtype, name=name
+            )
+
+        q = proj("q_proj")(query)
+        k = proj("k_proj")(key)
+        v = proj("v_proj")(value)
+
+        b, tq, _ = q.shape
+        tk = k.shape[1]
+        q = q.reshape(b, tq, h, head_dim)
+        k = k.reshape(b, tk, h, head_dim)
+        v = v.reshape(b, tk, h, head_dim)
+
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(head_dim, q.dtype)
+        )
+        if key_padding_mask is not None:
+            logits = jnp.where(
+                key_padding_mask[:, None, None, :], _BIG_NEG, logits
+            )
+        if attn_mask is not None:
+            if attn_mask.dtype == jnp.bool_:
+                logits = jnp.where(attn_mask[None, None], _BIG_NEG, logits)
+            else:
+                logits = logits + attn_mask[None, None].astype(logits.dtype)
+
+        weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            self.dtype
+        )
+        if self.dropout > 0.0:
+            weights_d = nn.Dropout(self.dropout)(weights, deterministic=deterministic)
+        else:
+            weights_d = weights
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights_d, v).reshape(b, tq, d)
+        out = proj("out_proj")(out)
+        return out, weights.mean(axis=1)

@@ -1,0 +1,39 @@
+"""Test harness: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding is validated on virtual CPU devices; bench.py runs on
+real TPU hardware separately (SURVEY.md §4).
+
+Note: the container's ``sitecustomize`` registers an experimental TPU-tunnel
+backend at interpreter start, so env vars alone are not enough — we override
+``jax_platforms`` via the config API before any backend is used.
+"""
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+# the reference repo is used as a read-only torch oracle for parity tests
+REFERENCE = "/root/reference"
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def reference_path():
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference repo not mounted")
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    return REFERENCE
