@@ -155,3 +155,40 @@ def timestep_embedding(sd, prefix):
         "linear_1": linear(sd, f"{prefix}.linear_1"),
         "linear_2": linear(sd, f"{prefix}.linear_2"),
     }
+
+
+def vae_params(sd, d_model: int, num_layers: int, prefix: str = ""):
+    """Reference ConvoFusionVae state dict -> convofusion_tpu.models.vae tree.
+
+    ``prefix`` e.g. 'vae' when loading from a full-model checkpoint.
+    """
+    p = (prefix + ".") if prefix else ""
+    return {
+        "body_encoder": skip_encoder(sd, f"{p}body_encoder", d_model,
+                                     num_layers),
+        "hands_encoder": skip_encoder(sd, f"{p}hands_encoder", d_model,
+                                      num_layers),
+        "body_decoder": skip_decoder(sd, f"{p}body_decoder", d_model,
+                                     num_layers),
+        "hands_decoder": skip_decoder(sd, f"{p}hands_decoder", d_model,
+                                      num_layers),
+        "body_global_motion_token": sd[f"{p}body_global_motion_token"],
+        "hands_global_motion_token": sd[f"{p}hands_global_motion_token"],
+        "body_skel_embedding": linear(sd, f"{p}body_skel_embedding"),
+        "hands_skel_embedding": linear(sd, f"{p}hands_skel_embedding"),
+        "body_final_layer": linear(sd, f"{p}body_final_layer"),
+        "hands_final_layer": linear(sd, f"{p}hands_final_layer"),
+    }
+
+
+def denoiser_params(sd, d_model: int, num_layers: int, prefix: str = ""):
+    """Reference Denoiser (trans_dec) state dict -> our Denoiser tree."""
+    p = (prefix + ".") if prefix else ""
+    return {
+        "latent_embd": linear(sd, f"{p}latent_embd"),
+        "latent_proj": linear(sd, f"{p}latent_proj"),
+        "time_embedding": timestep_embedding(sd, f"{p}time_embedding"),
+        "bh_embedding": embedding(sd, f"{p}bh_embedding"),
+        "condition_embedding": embedding(sd, f"{p}condition_embedding"),
+        "decoder": denoiser_decoder(sd, f"{p}decoder", d_model, num_layers),
+    }

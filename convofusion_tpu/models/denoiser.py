@@ -1,0 +1,111 @@
+"""Latent-diffusion denoiser transformer.
+
+Reference: convofusion/models/architectures/denoiser.py (production
+``trans_dec`` arch, configs/modules/denoiser.yaml: 9 layers, 4 heads,
+pre-norm, text_encoded_dim 512, sine_bh query PE, sine memory PE).
+
+Per forward pass (denoiser.py:173-386):
+  1. project the (B, 16, 128) latent tokens to 512
+  2. sinusoidal timestep embedding -> 2-layer MLP -> (B, 1, 512)
+  3. add body/hands token-type embedding (even/odd tokens) + sine_bh query PE
+  4. add time embedding + condition-id embedding + sine memory PE to each of
+     the five condition streams
+  5. run the 5-stream decoder stack; project back 512 -> 128
+Returns (noise_pred, att_mats) where att_mats[stream] is (B, L, 16, Tk).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from convofusion_tpu.ops.embeddings import TimestepEmbedding, Timesteps
+from convofusion_tpu.ops.positional import build_position_encoding
+from convofusion_tpu.ops.transformer import COND_STREAMS, DenoiserDecoder
+
+
+class Denoiser(nn.Module):
+    nfeats: int = 189
+    condition: str = "text+audio"
+    latent_size: int = 1
+    latent_dim: int = 128
+    ff_size: int = 1024
+    num_layers: int = 9
+    num_heads: int = 4
+    dropout: float = 0.1
+    normalize_before: bool = True
+    activation: str = "gelu"
+    flip_sin_to_cos: bool = True
+    freq_shift: float = 0.0
+    position_embedding: str = "sine"
+    arch: str = "trans_dec"
+    text_encoded_dim: int = 512
+    audio_encoded_dim: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        if self.arch != "trans_dec":
+            raise ValueError(
+                "TPU build implements the production 'trans_dec' arch "
+                "(denoiser.py:153-169); 'trans_enc' is a legacy ablation")
+        d = self.text_encoded_dim
+        self.latent_embd = nn.Dense(d, dtype=self.dtype, name="latent_embd")
+        self.latent_proj = nn.Dense(
+            self.latent_dim, dtype=self.dtype, name="latent_proj")
+        self.time_proj = Timesteps(d, self.flip_sin_to_cos, self.freq_shift)
+        self.time_embedding = TimestepEmbedding(d, name="time_embedding")
+        self.query_pos = build_position_encoding(
+            d, "sine_bh", name="query_pos")
+        self.mem_pos = build_position_encoding(
+            d, self.position_embedding, name="mem_pos")
+        self.bh_embedding = nn.Embed(
+            2, d, dtype=self.dtype, name="bh_embedding")
+        self.condition_embedding = nn.Embed(
+            5, d, dtype=self.dtype, name="condition_embedding")
+        self.decoder = DenoiserDecoder(
+            d_model=d,
+            num_layers=self.num_layers,
+            nhead=self.num_heads,
+            dim_feedforward=self.ff_size,
+            dropout=self.dropout,
+            activation=self.activation,
+            normalize_before=self.normalize_before,
+            dtype=self.dtype,
+            name="decoder",
+        )
+
+    def __call__(
+        self,
+        sample: jnp.ndarray,
+        timesteps: jnp.ndarray,
+        cond: Dict[str, jnp.ndarray],
+        cond_masks: Optional[Dict[str, jnp.ndarray]] = None,
+        deterministic: bool = True,
+    ):
+        """sample (B, T=16, latent_dim); timesteps scalar or (B,);
+        cond[stream] (B, Tk, text_encoded_dim); cond_masks[stream] (B, Tk)
+        bool, True = pad."""
+        b, t, _ = sample.shape
+        x = self.latent_embd(sample)
+
+        ts = jnp.broadcast_to(jnp.atleast_1d(timesteps), (b,))
+        time_emb = self.time_embedding(
+            self.time_proj(ts).astype(x.dtype))[:, None, :]  # (B, 1, D)
+
+        # body/hands token-type embedding on even/odd latent tokens
+        # (denoiser.py:316-324)
+        bh_idx = jnp.arange(t) % 2
+        x = x + self.bh_embedding(bh_idx)[None]
+        x = self.query_pos(x)
+
+        mem = {}
+        for i, stream in enumerate(COND_STREAMS):
+            m = cond[stream] + time_emb  # abl_plus (denoiser.py:252-261)
+            m = m + self.condition_embedding(
+                jnp.full((1,), i, jnp.int32))[None]
+            mem[stream] = self.mem_pos(m)
+
+        out, att_mats = self.decoder(
+            x, mem, time_emb, cond_masks, deterministic=deterministic)
+        return self.latent_proj(out), att_mats

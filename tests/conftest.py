@@ -27,6 +27,18 @@ if REPO not in sys.path:
 # the reference repo is used as a read-only torch oracle for parity tests
 REFERENCE = "/root/reference"
 
+# reference modules import `omegaconf`, which is absent in this image; our
+# config system implements a compatible subset — register it as a shim
+if "omegaconf" not in sys.modules:
+    import types
+
+    from convofusion_tpu.config import omega as _omega
+
+    shim = types.ModuleType("omegaconf")
+    shim.OmegaConf = _omega.OmegaConf
+    shim.DictConfig = _omega.DictConfig
+    sys.modules["omegaconf"] = shim
+
 import pytest  # noqa: E402
 
 
