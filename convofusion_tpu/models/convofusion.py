@@ -1,0 +1,539 @@
+"""Convofusion model-type: two-stage training + modality-guided sampling.
+
+Reference: convofusion/models/modeltype/convofusion.py (the LightningModule
+orchestrating stage-1 VAE and stage-2 diffusion, 7-way modality
+classifier-free guidance, and word-excitation guidance).
+
+TPU-first re-design:
+  * pure-function API over an explicit param pytree
+    {vae, denoiser, text_encoder, audio_encoder, condition_fuser} — ready
+    for optax/pjit; no module state.
+  * the reverse diffusion loop is a single ``lax.scan`` over timesteps with
+    the 7-way guidance fold in the batch dimension (convofusion.py:499-541).
+  * conditions are encoded ONCE for the real batch and once for the uncond
+    batch; the 7-way memory is assembled by static per-branch stream
+    selection instead of re-running the encoders on a 7x batch (equivalent
+    math to convofusion.py:909-929, 5x less T5/audio-encoder work).
+  * modality dropout for training runs on device from a PRNG key
+    (convofusion.py:745-779 does it host-side on python lists).
+  * word-excitation guidance compiles into the scan body behind a static
+    flag (lax.while_loop refinement, models/weg.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convofusion_tpu.config import instantiate_from_config
+from convofusion_tpu.diffusion.schedulers import DiffusionScheduler
+from convofusion_tpu.losses.diffvae import diffusion_losses, vae_losses
+from convofusion_tpu.models import weg as weg_lib
+from convofusion_tpu.models.condfuser import TextAudioMotionFuser
+from convofusion_tpu.models.tokenizer import (
+    UNCOND_TEXT,
+    WordHashTokenizer,
+)
+from convofusion_tpu.ops.smoothing import laplace_filter_time
+
+# guidance branch -> condition stream kept real (convofusion.py:528-541):
+# [all_drop, text, audio, spk, apb, lsnid, full]
+GUIDANCE_BRANCHES = (
+    (),                      # 0: unconditional
+    ("tlsn",),               # 1: listener text only
+    ("alsn",),               # 2: listener audio only
+    ("spkemb",),             # 3: speaker text only
+    ("apb",),                # 4: active/passive only
+    ("lsnemb",),             # 5: listener id only
+    ("spkemb", "alsn", "tlsn", "apb", "lsnemb"),  # 6: full condition
+)
+NUM_BRANCHES = len(GUIDANCE_BRANCHES)
+
+
+def uncond_melspec(shape, dtype=jnp.float32):
+    """-90 dB everywhere except mel bins 40:45 (convofusion.py:214-216)."""
+    mel = jnp.full(shape, -90.0, dtype)
+    return mel.at[..., 40:45].set(0.0)
+
+
+class Convofusion:
+    """Coordinator owning module definitions, schedulers and pure step fns."""
+
+    def __init__(self, cfg, tokenizer=None):
+        self.cfg = cfg
+        self.stage = cfg.TRAIN.STAGE
+        self.condition = cfg.model.condition
+        self.nfeats = int(cfg.DATASET.NFEATS)
+        self.njoints = int(cfg.DATASET.NJOINTS)
+        self.latent_size = int(cfg.model.latent_dim[0])
+        self.latent_dim = int(cfg.model.latent_dim[-1])
+        self.guidance_scale = float(cfg.model.guidance_scale)
+        self.guidance_uncondp = float(cfg.model.guidance_uncondp)
+        self.clf_guidance_drops = 6
+        self.do_classifier_free_guidance = self.guidance_scale > 1.0
+        self.predict_epsilon = bool(cfg.TRAIN.ABLATION.PREDICT_EPSILON)
+        self.max_len = int(cfg.DATASET.SAMPLER.MAX_LEN)
+        self.n_chunks = self.max_len // 16
+        self.text_pad_len = int(cfg.get("TPU", {}).get("TEXT_PAD_LEN", 64))
+        self.weg_parameters = cfg.model.get("weg_parameters", {})
+
+        self.vae = instantiate_from_config(cfg.model.motion_vae)
+        self.laplace_kernel_size = int(
+            cfg.model.motion_vae.params.get("laplace_kernel_size", 0))
+        ds_name = cfg.TRAIN.DATASETS[0].upper()
+        try:
+            self.bones = [tuple(b) for b in cfg.DATASET[ds_name].BONES]
+        except (KeyError, AttributeError):
+            self.bones = None
+
+        vocab_size = 32128
+        try:
+            vocab_size = int(
+                cfg.model.text_encoder.params.get("vocab_size", 32128))
+        except (KeyError, AttributeError):
+            pass
+        self.tokenizer = tokenizer or WordHashTokenizer(
+            vocab_size=vocab_size, max_length=self.text_pad_len)
+
+        if self.stage in ("diffusion", "vae_diffusion"):
+            self.text_encoder = instantiate_from_config(cfg.model.text_encoder)
+            self.audio_encoder = instantiate_from_config(
+                cfg.model.audio_encoder)
+            self.condition_fuser = TextAudioMotionFuser(
+                out_dim=int(cfg.model.denoiser.params.text_encoded_dim))
+            self.denoiser = instantiate_from_config(cfg.model.denoiser)
+
+            def _sched(block):
+                params = dict(block.params)
+                params.pop("variance_type", None)
+                variant = block.get("variant", params.pop("variant", "ddpm"))
+                if not self.predict_epsilon:
+                    params["prediction_type"] = "sample"
+                from convofusion_tpu.diffusion.schedulers import (
+                    scheduler_from_config,
+                )
+                return scheduler_from_config(
+                    params, eta=float(block.get("eta", 0.0)),
+                    variant=str(variant))
+
+            self.scheduler: DiffusionScheduler = _sched(cfg.model.scheduler)
+            self.noise_scheduler: DiffusionScheduler = _sched(
+                cfg.model.noise_scheduler)
+            self.num_inference_timesteps = int(
+                cfg.model.scheduler.get("num_inference_timesteps", 1000))
+
+    # ------------------------------------------------------------ init params
+    def init_params(self, key) -> Dict:
+        keys = jax.random.split(key, 5)
+        b, t = 2, self.text_pad_len
+        params = {
+            "vae": self.vae.init(
+                {"params": keys[0]},
+                jnp.zeros((b, self.max_len, self.nfeats)),
+            )["params"],
+        }
+        if self.stage in ("diffusion", "vae_diffusion"):
+            ids = jnp.zeros((b, t), jnp.int32)
+            tmask = jnp.ones((b, t), bool)
+            params["text_encoder"] = self.text_encoder.init(
+                {"params": keys[1]}, ids, tmask)["params"]
+            mel = jnp.zeros((b, 161, 80))
+            params["audio_encoder"] = self.audio_encoder.init(
+                {"params": keys[2]}, mel)["params"]
+            d = self.denoiser.text_encoded_dim
+            params["condition_fuser"] = self.condition_fuser.init(
+                {"params": keys[3]},
+                jnp.zeros((b, t, d)), jnp.zeros((b, 161, d)),
+                jnp.zeros((b, t, d)), jnp.zeros((b, self.n_chunks),
+                                                jnp.int32),
+                jnp.zeros((b,), jnp.int32))["params"]
+            cond = {
+                "spkemb": jnp.zeros((b, t, d)),
+                "alsn": jnp.zeros((b, 161, d)),
+                "tlsn": jnp.zeros((b, t, d)),
+                "apb": jnp.zeros((b, self.n_chunks, d)),
+                "lsnemb": jnp.zeros((b, 1, d)),
+            }
+            params["denoiser"] = self.denoiser.init(
+                {"params": keys[4]},
+                jnp.zeros((b, 2 * self.n_chunks, self.latent_dim)),
+                jnp.zeros((), jnp.int32), cond)["params"]
+        return params
+
+    # ------------------------------------------------------- host-side helpers
+    def tokenize(self, texts):
+        return self.tokenizer(list(texts), pad_to=self.text_pad_len)
+
+    def prepare_text_batch(self, texts_spk, texts_lsn):
+        """Host-side: strings -> static-shape id/mask arrays incl. the shared
+        uncond row."""
+        tb_spk = self.tokenize(texts_spk)
+        tb_lsn = self.tokenize(texts_lsn)
+        tb_unc = self.tokenize([UNCOND_TEXT] * len(texts_lsn))
+        return {
+            "spk_ids": jnp.asarray(tb_spk.input_ids),
+            "spk_tmask": jnp.asarray(tb_spk.attention_mask),
+            "lsn_ids": jnp.asarray(tb_lsn.input_ids),
+            "lsn_tmask": jnp.asarray(tb_lsn.attention_mask),
+            "uncond_ids": jnp.asarray(tb_unc.input_ids),
+            "uncond_tmask": jnp.asarray(tb_unc.attention_mask),
+        }, tb_spk, tb_lsn
+
+    # ------------------------------------------------------------- vae stage
+    def vae_encode(self, params, motion, sample_key=None,
+                   deterministic=True):
+        return self.vae.apply(
+            {"params": params["vae"]}, motion, sample_key, deterministic,
+            method=self.vae.encode)
+
+    def vae_decode(self, params, z, nframes=None, deterministic=True):
+        return self.vae.apply(
+            {"params": params["vae"]}, z, nframes or self.max_len,
+            deterministic, method=self.vae.decode)
+
+    def train_vae_loss(self, params, batch, key) -> Tuple[jnp.ndarray, Dict]:
+        """Stage-1 loss (convofusion.py:647-715 + losses update)."""
+        motion = batch["motion"]
+        k_sample, k_drop = jax.random.split(key)
+        (latent, (mu, logvar), _) = self.vae.apply(
+            {"params": params["vae"]}, motion, k_sample, False,
+            method=self.vae.encode, rngs={"dropout": k_drop})
+        recon = self.vae.apply(
+            {"params": params["vae"]}, latent, motion.shape[1], False,
+            method=self.vae.decode, rngs={"dropout": k_drop})
+
+        if self.laplace_kernel_size > 0:
+            lap_ref = laplace_filter_time(motion, self.laplace_kernel_size)
+            lap_rst = laplace_filter_time(recon, self.laplace_kernel_size)
+        else:
+            lap_ref = lap_rst = None
+
+        losses = vae_losses(
+            recon, motion, mu, logvar, lap_rst, lap_ref,
+            bones=self.bones,
+            lambda_rec=float(self.cfg.LOSS.LAMBDA_REC),
+            lambda_kl=float(self.cfg.LOSS.LAMBDA_KL),
+            lambda_bl=float(self.cfg.LOSS.get("LAMBDA_BL", 0.0)),
+        )
+        return losses["total"], losses
+
+    # ------------------------------------------------------ condition encoding
+    def encode_text(self, params, ids, tmask, deterministic=True, rngs=None):
+        emb, _ = self.text_encoder.apply(
+            {"params": params["text_encoder"]}, ids, tmask,
+            deterministic, rngs=rngs)
+        return emb
+
+    def encode_conditions(self, params, spk_ids, spk_tmask, lsn_ids,
+                          lsn_tmask, melspec_lsn, apb, lsn_id,
+                          deterministic=True, rngs=None):
+        """Returns (cond dict, mask dict).  Masks are torch-convention pad
+        masks (True = pad), matching convofusion.py:813."""
+        tspk = self.encode_text(params, spk_ids, spk_tmask, deterministic,
+                                rngs)
+        tlsn = self.encode_text(params, lsn_ids, lsn_tmask, deterministic,
+                                rngs)
+        alsn = self.audio_encoder.apply(
+            {"params": params["audio_encoder"]}, melspec_lsn,
+            deterministic, rngs=rngs)
+        cond = self.condition_fuser.apply(
+            {"params": params["condition_fuser"]}, tspk, alsn, tlsn, apb,
+            lsn_id)
+        masks = {"spkemb": ~spk_tmask, "tlsn": ~lsn_tmask}
+        return cond, masks
+
+    # --------------------------------------------------- diffusion train step
+    def _dropout_groups(self, key, batch_size: int):
+        """Per-sample guidance-drop group (6 = keep everything).
+
+        Mirrors convofusion.py:745-752: 6 disjoint random groups of
+        ``int(uncondp * B)`` samples each.
+        """
+        k = int(self.guidance_uncondp * batch_size)
+        perm = jax.random.permutation(key, batch_size)
+        group = jnp.full((batch_size,), NUM_BRANCHES - 1, jnp.int32)
+        for g in range(self.clf_guidance_drops):
+            group = group.at[perm[g * k:(g + 1) * k]].set(g)
+        return group
+
+    def apply_modality_dropout(self, key, batch):
+        """Substitute uncond values per dropped modality (on device)."""
+        b = batch["lsn_ids"].shape[0]
+        group = self._dropout_groups(key, b)
+
+        def keep(stream):
+            kept = jnp.zeros((b,), bool)
+            for g, streams in enumerate(GUIDANCE_BRANCHES):
+                if stream in streams:
+                    kept = kept | (group == g)
+            return kept
+
+        out = dict(batch)
+        k_t = keep("tlsn")[:, None]
+        out["lsn_ids"] = jnp.where(k_t, batch["lsn_ids"],
+                                   batch["uncond_ids"])
+        out["lsn_tmask"] = jnp.where(k_t, batch["lsn_tmask"],
+                                     batch["uncond_tmask"])
+        k_s = keep("spkemb")[:, None]
+        out["spk_ids"] = jnp.where(k_s, batch["spk_ids"],
+                                   batch["uncond_ids"])
+        out["spk_tmask"] = jnp.where(k_s, batch["spk_tmask"],
+                                     batch["uncond_tmask"])
+        k_a = keep("alsn")[:, None, None]
+        out["melspec_lsn"] = jnp.where(
+            k_a, batch["melspec_lsn"],
+            uncond_melspec(batch["melspec_lsn"].shape,
+                           batch["melspec_lsn"].dtype))
+        k_apb = keep("apb")[:, None]
+        out["active_passive_lsn"] = jnp.where(
+            k_apb, batch["active_passive_lsn"],
+            jnp.full_like(batch["active_passive_lsn"], 2))
+        k_id = keep("lsnemb")
+        out["lsn_id"] = jnp.where(k_id, batch["lsn_id"], 0)
+        return out
+
+    def train_diffusion_loss(self, params, batch, key
+                             ) -> Tuple[jnp.ndarray, Dict]:
+        """Stage-2 loss (convofusion.py:717-815 + _diffusion_process)."""
+        k_enc, k_drop, k_noise, k_t, k_dropout = jax.random.split(key, 5)
+
+        # frozen VAE encode (reparameterized sample, stop-gradient)
+        latent, _, _ = self.vae_encode(
+            jax.lax.stop_gradient(params), batch["motion_lsn"],
+            sample_key=k_enc)
+        latent = jax.lax.stop_gradient(latent)
+        # (2, B, 8, D) -> (B, 16, D) interleaved body/hands per chunk
+        z = jnp.transpose(latent, (1, 2, 0, 3))
+        b = z.shape[0]
+        z = z.reshape(b, 2 * self.n_chunks, self.latent_dim)
+
+        dropped = self.apply_modality_dropout(k_drop, batch)
+        rngs = {"dropout": k_dropout}
+        cond, masks = self.encode_conditions(
+            params, dropped["spk_ids"], dropped["spk_tmask"],
+            dropped["lsn_ids"], dropped["lsn_tmask"],
+            dropped["melspec_lsn"], dropped["active_passive_lsn"],
+            dropped["lsn_id"], deterministic=False, rngs=rngs)
+
+        noise = jax.random.normal(k_noise, z.shape, z.dtype)
+        timesteps = jax.random.randint(
+            k_t, (b,), 0, self.noise_scheduler.num_train_timesteps)
+        noisy = self.noise_scheduler.add_noise(z, noise, timesteps)
+
+        noise_pred, att = self.denoiser.apply(
+            {"params": params["denoiser"]}, noisy, timesteps, cond, masks,
+            deterministic=False, rngs=rngs)
+
+        lambda_latent = float(self.cfg.LOSS.LAMBDA_LATENT)
+        target = noise if self.predict_epsilon else z
+        if lambda_latent != 0.0:
+            pred_x0 = jax.vmap(
+                lambda mo, t, s: self.scheduler.pred_original_sample(
+                    mo, t, s))(noise_pred, timesteps, noisy)
+            weights = jnp.asarray(self.scheduler.betas)[timesteps]
+            losses = diffusion_losses(
+                noise_pred, target, self.predict_epsilon, pred_x0, z,
+                weights, lambda_latent)
+        else:
+            losses = diffusion_losses(noise_pred, target,
+                                      self.predict_epsilon)
+        return losses["total"], losses
+
+    # ------------------------------------------------------------- sampling
+    def assemble_guidance_cond(self, cond_real, masks_real, cond_unc,
+                               masks_unc):
+        """Stack the 7 guidance branches into a (7B, ...) condition set."""
+        cond7, masks7 = {}, {}
+        for s in cond_real:
+            rows = [cond_real[s] if s in GUIDANCE_BRANCHES[g] else
+                    cond_unc[s] for g in range(NUM_BRANCHES)]
+            cond7[s] = jnp.concatenate(rows, axis=0)
+        for s in masks_real:
+            rows = [masks_real[s] if s in GUIDANCE_BRANCHES[g] else
+                    masks_unc[s] for g in range(NUM_BRANCHES)]
+            masks7[s] = jnp.concatenate(rows, axis=0)
+        return cond7, masks7
+
+    def guidance_combine(self, noise_pred7, batch_size: int):
+        """uncond + gs * sum(single-modality - uncond), full-cond weight 0
+        (convofusion.py:527-541)."""
+        chunks = noise_pred7.reshape(
+            (NUM_BRANCHES, batch_size) + noise_pred7.shape[1:])
+        uncond = chunks[0]
+        single = jnp.sum(chunks[1:6], axis=0)
+        return uncond + self.guidance_scale * (single - 5.0 * uncond)
+
+    def diffusion_reverse(
+        self,
+        params,
+        cond7,
+        masks7,
+        key,
+        batch_size: int,
+        num_inference_steps: Optional[int] = None,
+        capture_attention: str = "none",
+        weg: Optional[Dict] = None,
+    ):
+        """Reverse process as a lax.scan (convofusion.py:391-549).
+
+        ``weg`` (optional): dict with focus_idx, focus_valid, eot_idx,
+        cond_text (B-sized text-only condition), masks_text — enables
+        word-excitation guidance inside the loop.
+        """
+        n_steps = num_inference_steps or self.num_inference_timesteps
+        ts = jnp.asarray(self.scheduler.timesteps(n_steps))
+        prev_ts = jnp.asarray(self.scheduler.prev_timesteps(n_steps))
+        n_tokens = 2 * self.n_chunks
+
+        k_init, k_loop = jax.random.split(key)
+        latents = jax.random.normal(
+            k_init, (batch_size, n_tokens, self.latent_dim)
+        ) * self.scheduler.init_noise_sigma
+
+        weg_enabled = weg is not None
+        if weg_enabled:
+            wp = self.weg_parameters
+            scale_factor = float(wp.get("scale_factor", 1000))
+            lo, hi = wp.get("scale_range", [1.0, 0.5])
+            scale_range = np.linspace(float(lo), float(hi), n_steps)
+            step_sizes = jnp.asarray(
+                scale_factor * np.sqrt(scale_range), jnp.float32)
+            thresholds = np.full(n_steps, -1.0, np.float32)
+            for i, thr in dict(wp.get("thresholds", {})).items():
+                if int(i) < n_steps:
+                    thresholds[int(i)] = float(thr)
+            thresholds = jnp.asarray(thresholds)
+            max_iter_to_alter = int(wp.get("max_iter_to_alter", 800))
+            max_refinement_steps = int(wp.get("max_refinement_steps", 300))
+
+            def text_only_att(lat, t):
+                _, att = self.denoiser.apply(
+                    {"params": params["denoiser"]}, lat, t,
+                    weg["cond_text"], weg["masks_text"])
+                return att["tlsn"]
+
+            weg_loss = weg_lib.make_weg_loss(
+                text_only_att, weg["focus_idx"], weg["focus_valid"],
+                weg["eot_idx"])
+            weg_loss_grad = jax.value_and_grad(weg_loss, argnums=0)
+
+        def body(carry, inp):
+            lat, k = carry
+            i, t, pt = inp
+            k, k_step = jax.random.split(k)
+
+            if weg_enabled:
+                thr = thresholds[i]
+                step_size = step_sizes[i]
+
+                def refine(lat):
+                    loss, _ = weg_loss_grad(lat, t)
+                    need = (thr > 0) & (loss > 1.0 - thr)
+
+                    def do_refine(lat):
+                        new_lat, _ = weg_lib.iterative_refinement(
+                            weg_loss_grad, lat, t, thr, step_size,
+                            max_refinement_steps)
+                        return new_lat
+
+                    lat = jax.lax.cond(need, do_refine, lambda x: x, lat)
+                    # single gradient step while i < max_iter_to_alter
+                    loss, grad = weg_loss_grad(lat, t)
+                    lat = jnp.where(
+                        (i < max_iter_to_alter) & (loss > 0),
+                        lat - step_size * grad, lat)
+                    return lat
+
+                lat = refine(lat)
+
+            if self.do_classifier_free_guidance:
+                lat_in = jnp.tile(lat, (NUM_BRANCHES, 1, 1))
+                noise_pred7, att = self.denoiser.apply(
+                    {"params": params["denoiser"]}, lat_in, t, cond7, masks7)
+                noise_pred = self.guidance_combine(noise_pred7, batch_size)
+            else:
+                noise_pred, att = self.denoiser.apply(
+                    {"params": params["denoiser"]}, lat, t, cond7, masks7)
+            noise = jax.random.normal(k_step, lat.shape, lat.dtype)
+            lat, _ = self.scheduler.step(noise_pred, t, pt, lat, noise=noise)
+
+            if capture_attention == "all":
+                # full-cond branch maps (reference keeps chunk(-1),
+                # convofusion.py:517-519)
+                y = {s: a[-batch_size:] for s, a in att.items()}
+            else:
+                y = None
+            return (lat, k), y
+
+        steps = (jnp.arange(n_steps), ts, prev_ts)
+        (latents, _), att_seq = jax.lax.scan(
+            body, (latents, k_loop), steps)
+        return latents, att_seq
+
+    def sample(
+        self,
+        params,
+        batch,
+        key,
+        num_inference_steps: Optional[int] = None,
+        capture_attention: str = "none",
+        focus: Optional[Dict] = None,
+        deterministic_cond=True,
+    ):
+        """End-to-end generation for a prepared array batch: encode
+        conditions, run guided reverse diffusion, decode motion.
+
+        ``focus``: optional dict(focus_idx, focus_valid) enabling WEG.
+        Returns (motion (B, 128, nfeats), latents (B, 16, D), att_seq).
+        """
+        b = batch["lsn_ids"].shape[0]
+        cond_real, masks_real = self.encode_conditions(
+            params, batch["spk_ids"], batch["spk_tmask"], batch["lsn_ids"],
+            batch["lsn_tmask"], batch["melspec_lsn"],
+            batch["active_passive_lsn"], batch["lsn_id"])
+        cond_unc, masks_unc = self.encode_conditions(
+            params, batch["uncond_ids"], batch["uncond_tmask"],
+            batch["uncond_ids"], batch["uncond_tmask"],
+            uncond_melspec(batch["melspec_lsn"].shape,
+                           batch["melspec_lsn"].dtype),
+            jnp.full_like(batch["active_passive_lsn"], 2),
+            jnp.zeros_like(batch["lsn_id"]))
+
+        if self.do_classifier_free_guidance:
+            cond7, masks7 = self.assemble_guidance_cond(
+                cond_real, masks_real, cond_unc, masks_unc)
+        else:
+            cond7, masks7 = cond_real, masks_real
+
+        weg = None
+        if focus is not None:
+            # text-only condition = branch 1 selection (tlsn real, rest
+            # uncond), matching convofusion.py:449-450
+            cond_text = {s: (cond_real[s] if s == "tlsn" else cond_unc[s])
+                         for s in cond_real}
+            masks_text = {s: (masks_real[s] if s == "tlsn" else
+                              masks_unc[s]) for s in masks_real}
+            # eot index: first pad position - 1 (convofusion.py:461)
+            pad = masks_real["tlsn"]
+            any_pad = jnp.any(pad, axis=1)
+            first_pad = jnp.argmax(pad.astype(jnp.int32), axis=1)
+            eot = jnp.where(any_pad, first_pad - 1, pad.shape[1] - 1)
+            weg = dict(
+                cond_text=cond_text, masks_text=masks_text,
+                focus_idx=jnp.asarray(focus["focus_idx"]),
+                focus_valid=jnp.asarray(focus["focus_valid"],
+                                        jnp.float32),
+                eot_idx=eot)
+
+        latents, att_seq = self.diffusion_reverse(
+            params, cond7, masks7, key, b, num_inference_steps,
+            capture_attention, weg)
+
+        # (B, 16, D) -> (2, B, 8, D) for the VAE decoder
+        z = latents.reshape(b, self.n_chunks, 2, self.latent_dim)
+        z = jnp.stack([z[:, :, 0], z[:, :, 1]], axis=0)
+        motion = self.vae_decode(params, z)
+        return motion, latents, att_seq

@@ -111,13 +111,21 @@ def build_text_encoder(
     last_hidden_state: bool = False,
     latent_dim: int = 512,
     dropout: float = 0.0,
+    vocab_size: int = 32128,
+    d_model: int = 768,
+    d_ff: int = 3072,
+    num_layers: int = 12,
+    num_heads: int = 12,
+    d_kv: int = 64,
     compute_dtype="float32",
     **_: object,
 ) -> T5TextEncoder:
-    # t5-base dims; other T5 sizes can be passed explicitly via params
+    # defaults are the t5-base dims; other sizes pass through params
     return T5TextEncoder(
         latent_dim=int(latent_dim), dropout=float(dropout),
-        dtype=_dtype(compute_dtype))
+        vocab_size=int(vocab_size), d_model=int(d_model), d_ff=int(d_ff),
+        num_layers=int(num_layers), num_heads=int(num_heads),
+        d_kv=int(d_kv), dtype=_dtype(compute_dtype))
 
 
 def build_audio_encoder(
