@@ -1,0 +1,108 @@
+"""Training entry point.
+
+Reference: train.py (parse cfg -> logger -> resume scan -> datasets ->
+model -> Trainer.fit with DDP).  TPU equivalent: ('data','model') mesh,
+jitted optax step, orbax checkpoints, stage-1 -> stage-2 VAE transplant.
+
+Run: python -m convofusion_tpu.cli.train --cfg <yaml> [key=value ...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    from convofusion_tpu.config import parse_args
+    from convofusion_tpu.data.datamodule import get_datasets
+    from convofusion_tpu.models.convofusion import Convofusion
+    from convofusion_tpu.parallel.mesh import create_mesh
+    from convofusion_tpu.train.checkpoint import (
+        latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+        transplant_vae,
+    )
+    from convofusion_tpu.train.trainer import Trainer
+    from convofusion_tpu.utils.logger import create_logger
+
+    cfg = parse_args("train", argv)
+    logger = create_logger(cfg, "train")
+    logger.info(f"stage={cfg.TRAIN.STAGE} name={cfg.NAME}")
+
+    datamodule = get_datasets(cfg)[0]
+    model = Convofusion(cfg)
+
+    n_dev = jax.local_device_count()
+    if n_dev > 1 and int(cfg.TRAIN.BATCH_SIZE) % n_dev == 0:
+        mesh = create_mesh()
+        logger.info(f"data-parallel mesh over {n_dev} devices")
+    else:
+        mesh = None
+        if n_dev > 1:
+            logger.warning(
+                f"batch size {cfg.TRAIN.BATCH_SIZE} not divisible by "
+                f"{n_dev} devices; running single-device")
+
+    trainer = Trainer(model, cfg, mesh=mesh)
+    key = jax.random.PRNGKey(int(cfg.SEED_VALUE))
+    key, k_init = jax.random.split(key)
+    params, opt_state = trainer.init_state(k_init)
+
+    ckpt_dir = os.path.join(cfg.FOLDER_EXP, "checkpoints")
+    start_epoch = int(cfg.TRAIN.START_EPOCH)
+
+    resume = latest_checkpoint(ckpt_dir) if cfg.TRAIN.RESUME else None
+    if resume:
+        logger.info(f"resuming from {resume}")
+        params, opt_state = load_checkpoint(resume, params)
+        start_epoch = int(os.path.basename(resume).split("=")[1]) + 1
+    elif cfg.TRAIN.PRETRAINED_VAE and cfg.TRAIN.STAGE != "vae":
+        logger.info(f"loading pretrained VAE {cfg.TRAIN.PRETRAINED_VAE}")
+        params = transplant_vae(params, str(cfg.TRAIN.PRETRAINED_VAE))
+
+    step_fn = trainer.make_train_step()
+    save_every = int(cfg.LOGGER.SACE_CHECKPOINT_EPOCH)
+
+    def prepare(batch):
+        if cfg.TRAIN.STAGE == "vae":
+            return {"motion": jnp.asarray(batch["motion"])}
+        text_arrays, _, _ = model.prepare_text_batch(
+            batch["text_spk"], batch["text_lsn"])
+        return {
+            "motion_lsn": jnp.asarray(batch["motion_lsn"]),
+            "melspec_lsn": jnp.asarray(batch["melspec_lsn"]),
+            "active_passive_lsn": jnp.asarray(
+                batch["active_passive_lsn"]),
+            "lsn_id": jnp.asarray(batch["lsn_id"]),
+            **text_arrays,
+        }
+
+    for epoch in range(start_epoch, int(cfg.TRAIN.END_EPOCH)):
+        loader = datamodule.train_dataloader(seed=epoch)
+        losses = []
+        t0 = time.time()
+        for batch in loader:
+            key, k = jax.random.split(key)
+            params, opt_state, loss, _ = step_fn(
+                params, opt_state, trainer.shard_batch(prepare(batch)), k)
+            losses.append(loss)
+        mean_loss = float(np.mean([float(x) for x in losses])) \
+            if losses else float("nan")
+        logger.info(
+            f"epoch {epoch}: loss={mean_loss:.4f} "
+            f"({time.time() - t0:.1f}s, {len(losses)} steps)")
+        if (epoch + 1) % save_every == 0 or \
+                epoch == int(cfg.TRAIN.END_EPOCH) - 1:
+            path = save_checkpoint(ckpt_dir, epoch, params, opt_state)
+            logger.info(f"saved {path}")
+    return params
+
+
+if __name__ == "__main__":
+    sys.exit(main())

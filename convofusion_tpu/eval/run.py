@@ -1,0 +1,140 @@
+"""Offline evaluation driver over saved result directories.
+
+Reference: quant_eval/metric_eval.py (monadic/BEAT: SRGR + L1div +
+alignment + diversity) and quant_eval/dyadic_eval.py (DnD: FID + alignment
++ diversity + L1div), both walking ``<result_dir>/*/*/gt.npy`` sample dirs
+produced by the test entry point.
+
+Run: python -m convofusion_tpu.eval.run --result_dir ... --mode dyadic
+     [--fidnet experiments/eval/last_499.bin]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+import numpy as np
+
+from convofusion_tpu.data.audio import load_wav, normalize
+from convofusion_tpu.eval.fid_net import HalfEmbeddingNet, load_torch_fidnet
+from convofusion_tpu.eval.metrics import (
+    Alignment,
+    L1div,
+    SRGR,
+    calculate_avg_distance,
+    calculate_jitter,
+    eval_process_motion,
+    frechet_distance,
+)
+
+
+def evaluate_results(result_dir: str, mode: str = "monadic",
+                     fidnet_path: str | None = None,
+                     max_samples: int | None = None) -> dict:
+    if mode == "monadic":
+        alignmenter = Alignment(sigma=0.3, order=10)
+    else:
+        alignmenter = Alignment(sigma=1.25, order=12)
+    srgr_cal = SRGR(0.3, 63)
+    l1_calculator = L1div()
+
+    # sample names contain slashes (e.g. dnd/session/set_l1), so recurse
+    # rather than the reference's fixed */*/gt.npy depth
+    gt_files = sorted(glob.glob(
+        os.path.join(result_dir, "**", "gt.npy"), recursive=True))
+    if max_samples:
+        gt_files = gt_files[:max_samples]
+    if not gt_files:
+        raise FileNotFoundError(f"no gt.npy under {result_dir}")
+
+    fid_extractor = fid_params = None
+    if fidnet_path and os.path.exists(fidnet_path):
+        fid_extractor = HalfEmbeddingNet(128, 189, 300)
+        fid_params = load_torch_fidnet(fidnet_path)
+    elif mode == "dyadic":
+        # FID features require the released autoencoder; random-init
+        # features still yield a comparable relative number for smoke runs
+        fid_extractor = HalfEmbeddingNet(128, 189, 300)
+        fid_params = fid_extractor.init_params(0)
+
+    align, counter = 0.0, 0
+    jitters = []
+    pred_all, tar_all = [], []
+    lat_pred, lat_gt = [], []
+
+    for gt_file in gt_files:
+        gt = np.load(gt_file)
+        pred = np.load(gt_file.replace("gt.npy", "pred.npy"))
+        t = gt.shape[0]
+        gt_flat = gt.reshape(t, -1)
+        pred_flat = pred.reshape(t, -1)
+
+        if mode == "monadic":
+            sem_file = gt_file.replace("gt.npy", "sem_lsn.npy")
+            sem = (np.load(sem_file) if os.path.exists(sem_file)
+                   else np.zeros(t))
+            srgr_cal.run(pred_flat.copy(), gt_flat.copy(), sem)
+            l1_calculator.run(pred_flat.copy())
+        else:
+            l1_calculator.run(gt_flat.copy())
+
+        jitters.append(calculate_jitter(pred, gt))
+
+        gt_np = eval_process_motion(gt.reshape(t, 63, 3))
+        pred_np = eval_process_motion(pred.reshape(t, 63, 3))
+        pred_all.append(pred_np)
+        tar_all.append(gt_np)
+
+        if fid_extractor is not None:
+            import jax.numpy as jnp
+
+            lat_pred.append(np.asarray(fid_extractor(
+                fid_params, jnp.asarray(pred_np.reshape(1, t, 189),
+                                        jnp.float32)))[0])
+            lat_gt.append(np.asarray(fid_extractor(
+                fid_params, jnp.asarray(gt_np.reshape(1, t, 189),
+                                        jnp.float32)))[0])
+
+        audio_file = gt_file.replace("gt.npy", "lsn_audio.wav")
+        if os.path.exists(audio_file):
+            audio, _ = load_wav(audio_file, 16000)
+            audio = normalize(audio)
+            a = alignmenter.align_sample(audio, pred_flat)
+            if a is not None:
+                align += a
+                counter += 1
+
+    out = {
+        "n_samples": len(gt_files),
+        "alignment": align / counter if counter else None,
+        "diversity_pred": calculate_avg_distance(pred_all),
+        "diversity_gt": calculate_avg_distance(tar_all),
+        "l1div": l1_calculator.avg(),
+        "jitter": float(np.mean(jitters)),
+    }
+    if mode == "monadic":
+        out["srgr"] = srgr_cal.avg()
+    if fid_extractor is not None and len(lat_pred) > 1:
+        out["fid"] = frechet_distance(np.stack(lat_pred),
+                                      np.stack(lat_gt))
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--result_dir", required=True)
+    ap.add_argument("--mode", default="monadic",
+                    choices=["monadic", "dyadic"])
+    ap.add_argument("--fidnet", default="./experiments/eval/last_499.bin")
+    ap.add_argument("--max_samples", type=int, default=None)
+    args = ap.parse_args(argv)
+    out = evaluate_results(args.result_dir, args.mode, args.fidnet,
+                           args.max_samples)
+    print(json.dumps(out, indent=2, default=float))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Device mesh + sharding helpers.
+
+The reference scales via Lightning DDP only (train.py:115-127; SURVEY.md
+§2.4) — the TPU-native equivalent is a ('data', 'model') mesh with the
+batch sharded over 'data' and params replicated; XLA inserts the gradient
+all-reduce over ICI.  The 'model' axis is headroom for tensor-parallel
+layouts (unused by the ~30 M-param production model, but the helpers
+accept it so larger variants shard without code changes).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(n_data: int = -1, n_model: int = 1,
+                devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_data == -1:
+        n_data = n // n_model
+    assert n_data * n_model == n, (
+        f"{n} devices cannot form a ({n_data}, {n_model}) mesh")
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place every array in the batch with its leading axis on 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params / opt state) across the mesh."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def make_data_parallel_step(step_fn, mesh: Mesh, donate_argnums=()):
+    """jit a (params, opt_state, batch, key) -> ... step with DP shardings.
+
+    The step must compute a *mean* loss over the batch; XLA lowers the
+    gradient reduction to a psum over ICI automatically since params are
+    replicated and the batch is sharded.
+    """
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+
+    def batch_spec(batch):
+        return jax.tree_util.tree_map(lambda _: data, batch)
+
+    def wrapped(params, opt_state, batch, key):
+        return step_fn(params, opt_state, batch, key)
+
+    return jax.jit(
+        wrapped,
+        in_shardings=(rep, rep, None, rep),
+        out_shardings=None,
+        donate_argnums=donate_argnums,
+    ), batch_spec
+
+
+def local_device_count(mesh: Optional[Mesh] = None) -> int:
+    return len(mesh.devices.flatten()) if mesh is not None else \
+        jax.local_device_count()

@@ -1,0 +1,156 @@
+"""Checkpoint save/load (orbax) + the reference's checkpoint surgeries.
+
+Reference behaviors replicated (SURVEY.md §5.4):
+  * frozen T5 weights stripped on save and re-injected on load
+    (base.py:83-123) — here the ``text_encoder/text_model`` subtree
+  * stage handoff: diffusion stage transplants VAE-only weights from the
+    stage-1 checkpoint (train.py:144-156)
+  * resume: newest checkpoint in the experiment dir (train.py:26-53)
+  * torch ``.ckpt``/state-dict loading through compat.torch_loader for
+    released reference checkpoints
+"""
+from __future__ import annotations
+
+import os
+import re
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def strip_frozen_text_model(params: Dict) -> Dict:
+    """Drop the frozen T5 stack before writing (base.py:83-92)."""
+    out = dict(params)
+    if "text_encoder" in out:
+        te = dict(out["text_encoder"])
+        te.pop("text_model", None)
+        out["text_encoder"] = te
+    return out
+
+
+def reinject_frozen_text_model(loaded: Dict, current: Dict) -> Dict:
+    """Put the live T5 weights back after load (base.py:94-123)."""
+    out = dict(loaded)
+    if "text_encoder" in current:
+        te = dict(out.get("text_encoder", {}))
+        te["text_model"] = current["text_encoder"]["text_model"]
+        out["text_encoder"] = te
+    return out
+
+
+def save_checkpoint(ckpt_dir: str, step: int, params: Dict,
+                    opt_state=None, keep_text_model: bool = False):
+    path = Path(ckpt_dir) / f"epoch={step}"
+    tree = {"params": params if keep_text_model
+            else strip_frozen_text_model(params)}
+    if opt_state is not None:
+        tree["opt_state"] = opt_state
+    _checkpointer().save(str(path.absolute()), tree, force=True)
+    return str(path)
+
+
+def load_checkpoint(path: str, current_params: Optional[Dict] = None):
+    tree = _checkpointer().restore(str(Path(path).absolute()))
+    params = tree["params"]
+    if current_params is not None:
+        params = reinject_frozen_text_model(params, current_params)
+    return params, tree.get("opt_state")
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Highest epoch= checkpoint (train.py:38-44)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best, best_epoch = None, -1
+    for name in os.listdir(ckpt_dir):
+        m = re.match(r"epoch=(\d+)", name)
+        if m and int(m.group(1)) > best_epoch:
+            best_epoch = int(m.group(1))
+            best = os.path.join(ckpt_dir, name)
+    return best
+
+
+def transplant_vae(params: Dict, vae_ckpt_path: str) -> Dict:
+    """Load stage-1 VAE weights into a stage-2 param tree
+    (train.py:144-156).  Accepts an orbax dir or a torch .ckpt."""
+    if vae_ckpt_path.endswith((".ckpt", ".pt", ".pth", ".bin")):
+        vae_tree = load_torch_vae(vae_ckpt_path)
+    else:
+        vae_tree = _checkpointer().restore(
+            str(Path(vae_ckpt_path).absolute()))["params"]["vae"]
+    out = dict(params)
+    out["vae"] = vae_tree
+    return out
+
+
+# ------------------------------------------------- torch checkpoint loading
+def _torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    return {k: np.asarray(v.detach().cpu().numpy())
+            for k, v in sd.items() if hasattr(v, "detach")}
+
+
+def load_torch_vae(path: str, d_model: int = 128, num_layers: int = 5
+                   ) -> Dict:
+    """Reference stage-1 checkpoint -> our VAE param tree.
+
+    Handles both bare-VAE state dicts and full-model ones with a ``vae.``
+    prefix (train.py:148-152 strips it the same way)."""
+    from convofusion_tpu.compat import torch_loader as tl
+
+    sd = _torch_state_dict(path)
+    if any(k.startswith("vae.") for k in sd):
+        prefix = "vae"
+    else:
+        prefix = ""
+    return tl.vae_params(sd, d_model, num_layers, prefix=prefix)
+
+
+def load_torch_full_model(path: str, current_params: Dict,
+                          vae_layers: int = 5, vae_dim: int = 128,
+                          denoiser_layers: int = 9,
+                          denoiser_dim: int = 512) -> Dict:
+    """Released full reference checkpoint -> our param tree (vae +
+    denoiser + audio encoder + fuser + t5 projection)."""
+    from convofusion_tpu.compat import torch_loader as tl
+    from convofusion_tpu.models.t5 import t5_params_from_torch
+
+    sd = _torch_state_dict(path)
+    params = dict(current_params)
+    params["vae"] = tl.vae_params(sd, vae_dim, vae_layers, prefix="vae")
+    params["denoiser"] = tl.denoiser_params(
+        sd, denoiser_dim, denoiser_layers, prefix="denoiser")
+
+    ae = {}
+    p = "text_audio_encoder.audio_encoder"
+    ae["main_0"] = tl.linear(sd, f"{p}.main.0")
+    ae["main_3"] = tl.linear(sd, f"{p}.main.3")
+    ae["out_net"] = tl.linear(sd, f"{p}.out_net")
+    params["audio_encoder"] = ae
+
+    te = dict(current_params["text_encoder"])
+    te["projection_1"] = tl.linear(
+        sd, "text_audio_encoder.text_encoder.projection.1")
+    t5_keys = {k[len("text_audio_encoder.text_encoder.text_model."):]: v
+               for k, v in sd.items()
+               if k.startswith("text_audio_encoder.text_encoder.text_model.")}
+    if t5_keys:
+        te["text_model"] = t5_params_from_torch(t5_keys)
+    params["text_encoder"] = te
+
+    params["condition_fuser"] = {
+        "active_passive_emb": tl.embedding(
+            sd, "condition_fuser.active_passive_emb"),
+        "lsn_id_emb": tl.embedding(sd, "condition_fuser.lsn_id_emb"),
+    }
+    return params

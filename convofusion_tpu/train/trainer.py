@@ -1,0 +1,95 @@
+"""Training loop: optax optimizer + pjit data-parallel step.
+
+Replaces the reference's PyTorch-Lightning Trainer + DDP
+(train.py:115-138).  The step functions are pure; the loop is a thin host
+driver.  Sharding: params/opt-state replicated, batch over the 'data'
+mesh axis — XLA emits the gradient all-reduce (SURVEY.md §2.4).
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from convofusion_tpu.models.convofusion import Convofusion
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    if str(cfg.TRAIN.OPTIM.TYPE).lower() != "adamw":
+        raise NotImplementedError(
+            "Do not support other optimizer for now.")  # convofusion.py:111
+    return optax.adamw(float(cfg.TRAIN.OPTIM.LR))
+
+
+class Trainer:
+    """Stage-aware trainer driving jitted, mesh-sharded steps."""
+
+    def __init__(self, model: Convofusion, cfg, mesh: Optional[Mesh] = None):
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh
+        self.optimizer = make_optimizer(cfg)
+        self.stage = cfg.TRAIN.STAGE
+
+    def loss_fn(self) -> Callable:
+        if self.stage == "vae":
+            return self.model.train_vae_loss
+        return self.model.train_diffusion_loss
+
+    def init_state(self, key):
+        params = self.model.init_params(key)
+        opt_state = self.optimizer.init(params)
+        if self.mesh is not None:
+            rep = NamedSharding(self.mesh, P())
+            params = jax.device_put(params, rep)
+            opt_state = jax.device_put(opt_state, rep)
+        return params, opt_state
+
+    def make_train_step(self):
+        loss_fn = self.loss_fn()
+        optimizer = self.optimizer
+
+        def step(params, opt_state, batch, key):
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch, key)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, metrics
+
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=(0, 1))
+        rep = NamedSharding(self.mesh, P())
+        data = NamedSharding(self.mesh, P("data"))
+        return jax.jit(
+            step,
+            in_shardings=(rep, rep, data, rep),
+            donate_argnums=(0, 1),
+        )
+
+    def shard_batch(self, batch):
+        if self.mesh is None:
+            return batch
+        data = NamedSharding(self.mesh, P("data"))
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), data), batch)
+
+    def fit_steps(self, params, opt_state, batches, key,
+                  log_every: int = 10) -> Tuple[Dict, Dict, list]:
+        """Drive a sequence of prepared array batches; returns final state
+        + loss history."""
+        step = self.make_train_step()
+        history = []
+        t0 = time.time()
+        for i, batch in enumerate(batches):
+            key, k = jax.random.split(key)
+            params, opt_state, loss, _ = step(
+                params, opt_state, self.shard_batch(batch), k)
+            if (i + 1) % log_every == 0:
+                history.append(float(loss))
+        jax.block_until_ready(params)
+        self.last_wall = time.time() - t0
+        return params, opt_state, history

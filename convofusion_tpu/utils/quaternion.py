@@ -63,10 +63,23 @@ def qfix_np(q: np.ndarray) -> np.ndarray:
 
 
 def qrot_np(q, v):
-    return np.asarray(qrot(jnp.asarray(q, jnp.float32), jnp.asarray(v, jnp.float32)))
+    """Pure-numpy qrot — host-side preprocessing must not touch a device
+    backend (the data/eval paths call this per sample)."""
+    q = np.asarray(q, np.float32)
+    v = np.asarray(v, np.float32)
+    qvec = q[..., 1:]
+    uv = np.cross(qvec, v)
+    uuv = np.cross(qvec, uv)
+    return v + 2.0 * (q[..., :1] * uv + uuv)
 
 
 def qbetween_np(v0, v1):
-    return np.asarray(
-        qbetween(jnp.asarray(v0, jnp.float32), jnp.asarray(v1, jnp.float32))
-    )
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v = np.cross(v0, v1)
+    w = np.sqrt(
+        (v0**2).sum(axis=-1, keepdims=True)
+        * (v1**2).sum(axis=-1, keepdims=True)
+    ) + (v0 * v1).sum(axis=-1, keepdims=True)
+    q = np.concatenate([w, v], axis=-1)
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
