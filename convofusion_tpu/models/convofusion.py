@@ -376,12 +376,18 @@ class Convofusion:
         num_inference_steps: Optional[int] = None,
         capture_attention: str = "none",
         weg: Optional[Dict] = None,
+        preseq: Optional[jnp.ndarray] = None,
     ):
         """Reverse process as a lax.scan (convofusion.py:391-549).
 
         ``weg`` (optional): dict with focus_idx, focus_valid, eot_idx,
         cond_text (B-sized text-only condition), masks_text — enables
         word-excitation guidance inside the loop.
+
+        ``preseq`` (optional, (B, L<=16, D)): previous-window latent tokens
+        for long-form synthesis.  At every step the first L tokens are
+        overwritten with add_noise(preseq, init_noise, t) — diffusion
+        inpainting of the overlap (unbounded_synthesis.py:70-76).
         """
         n_steps = num_inference_steps or self.num_inference_timesteps
         ts = jnp.asarray(self.scheduler.timesteps(n_steps))
@@ -389,9 +395,11 @@ class Convofusion:
         n_tokens = 2 * self.n_chunks
 
         k_init, k_loop = jax.random.split(key)
-        latents = jax.random.normal(
+        init_noise = jax.random.normal(
             k_init, (batch_size, n_tokens, self.latent_dim)
         ) * self.scheduler.init_noise_sigma
+        latents = init_noise
+        preseq_len = preseq.shape[1] if preseq is not None else 0
 
         weg_enabled = weg is not None
         if weg_enabled:
@@ -424,6 +432,16 @@ class Convofusion:
             lat, k = carry
             i, t, pt = inp
             k, k_step = jax.random.split(k)
+
+            if preseq is not None:
+                # re-noise the previous half-window to level t with the
+                # SAME initial noise every step, and overwrite the overlap
+                # (unbounded_synthesis.py:70-76)
+                noised = self.noise_scheduler.add_noise(
+                    preseq, init_noise[:, :preseq_len],
+                    jnp.full((batch_size,), t, jnp.int32))
+                lat = jnp.concatenate(
+                    [noised, lat[:, preseq_len:, :]], axis=1)
 
             if weg_enabled:
                 thr = thresholds[i]
@@ -482,6 +500,7 @@ class Convofusion:
         capture_attention: str = "none",
         focus: Optional[Dict] = None,
         deterministic_cond=True,
+        preseq: Optional[jnp.ndarray] = None,
     ):
         """End-to-end generation for a prepared array batch: encode
         conditions, run guided reverse diffusion, decode motion.
@@ -530,7 +549,7 @@ class Convofusion:
 
         latents, att_seq = self.diffusion_reverse(
             params, cond7, masks7, key, b, num_inference_steps,
-            capture_attention, weg)
+            capture_attention, weg, preseq)
 
         # (B, 16, D) -> (2, B, 8, D) for the VAE decoder
         z = latents.reshape(b, self.n_chunks, 2, self.latent_dim)
