@@ -31,6 +31,9 @@ def main():
                     help="force jax platform (e.g. cpu for local smoke)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny dims for a fast smoke run")
+    ap.add_argument("--fused", action="store_true",
+                    help="use the padded fused 5-stream layout instead of "
+                         "the (faster) guidance-aware grouped path")
     args = ap.parse_args()
 
     import jax
@@ -59,6 +62,7 @@ def main():
     cfg.model.scheduler["num_inference_timesteps"] = args.steps
     for block in ("denoiser", "motion_vae", "text_encoder", "audio_encoder"):
         cfg.model[block].params["compute_dtype"] = args.dtype
+    cfg.model.denoiser.params["fuse_streams"] = args.fused
 
     model = Convofusion(cfg)
     params = model.init_params(jax.random.PRNGKey(0))

@@ -357,20 +357,25 @@ class Convofusion:
             masks7[s] = jnp.concatenate(rows, axis=0)
         return cond7, masks7
 
-    def guidance_combine(self, noise_pred7, batch_size: int):
+    def guidance_combine_branches(self, chunks):
         """uncond + gs * sum(single-modality - uncond), full-cond weight 0
-        (convofusion.py:527-541)."""
-        chunks = noise_pred7.reshape(
-            (NUM_BRANCHES, batch_size) + noise_pred7.shape[1:])
+        (convofusion.py:527-541).  chunks (7, B, ...)."""
         uncond = chunks[0]
         single = jnp.sum(chunks[1:6], axis=0)
         return uncond + self.guidance_scale * (single - 5.0 * uncond)
 
+    def guidance_combine(self, noise_pred7, batch_size: int):
+        """Flat (7B, ...) variant of guidance_combine_branches."""
+        return self.guidance_combine_branches(noise_pred7.reshape(
+            (NUM_BRANCHES, batch_size) + noise_pred7.shape[1:]))
+
     def diffusion_reverse(
         self,
         params,
-        cond7,
-        masks7,
+        cond_real,
+        masks_real,
+        cond_unc,
+        masks_unc,
         key,
         batch_size: int,
         num_inference_steps: Optional[int] = None,
@@ -379,6 +384,13 @@ class Convofusion:
         preseq: Optional[jnp.ndarray] = None,
     ):
         """Reverse process as a lax.scan (convofusion.py:391-549).
+
+        With classifier-free guidance active, the per-step denoiser call
+        uses the guidance-aware ``Denoiser.guided`` path: the 7 branches'
+        condition memories have only 2 distinct variants per stream, so the
+        memory-side K/V work runs once per variant (exact math, ~2x faster
+        than tiling the batch 7x).  The fused-streams layout falls back to
+        assembling the tiled 7B batch.
 
         ``weg`` (optional): dict with focus_idx, focus_valid, eot_idx,
         cond_text (B-sized text-only condition), masks_text — enables
@@ -389,6 +401,13 @@ class Convofusion:
         overwritten with add_noise(preseq, init_noise, t) — diffusion
         inpainting of the overlap (unbounded_synthesis.py:70-76).
         """
+        use_guided = (self.do_classifier_free_guidance
+                      and not self.denoiser.fuse_streams)
+        if self.do_classifier_free_guidance and not use_guided:
+            cond7, masks7 = self.assemble_guidance_cond(
+                cond_real, masks_real, cond_unc, masks_unc)
+        elif not self.do_classifier_free_guidance:
+            cond7, masks7 = cond_real, masks_real
         n_steps = num_inference_steps or self.num_inference_timesteps
         ts = jnp.asarray(self.scheduler.timesteps(n_steps))
         prev_ts = jnp.asarray(self.scheduler.prev_timesteps(n_steps))
@@ -467,23 +486,29 @@ class Convofusion:
 
                 lat = refine(lat)
 
-            if self.do_classifier_free_guidance:
+            if use_guided:
+                noise_pred_b, att = self.denoiser.apply(
+                    {"params": params["denoiser"]}, lat, t, cond_real,
+                    cond_unc, masks_real, masks_unc,
+                    method=self.denoiser.guided)
+                noise_pred = self.guidance_combine_branches(noise_pred_b)
+                att_full = att  # already the full-cond branch
+            elif self.do_classifier_free_guidance:
                 lat_in = jnp.tile(lat, (NUM_BRANCHES, 1, 1))
                 noise_pred7, att = self.denoiser.apply(
-                    {"params": params["denoiser"]}, lat_in, t, cond7, masks7)
+                    {"params": params["denoiser"]}, lat_in, t, cond7,
+                    masks7)
                 noise_pred = self.guidance_combine(noise_pred7, batch_size)
+                # full-cond branch maps (reference keeps chunk(-1),
+                # convofusion.py:517-519)
+                att_full = {s: a[-batch_size:] for s, a in att.items()}
             else:
-                noise_pred, att = self.denoiser.apply(
+                noise_pred, att_full = self.denoiser.apply(
                     {"params": params["denoiser"]}, lat, t, cond7, masks7)
             noise = jax.random.normal(k_step, lat.shape, lat.dtype)
             lat, _ = self.scheduler.step(noise_pred, t, pt, lat, noise=noise)
 
-            if capture_attention == "all":
-                # full-cond branch maps (reference keeps chunk(-1),
-                # convofusion.py:517-519)
-                y = {s: a[-batch_size:] for s, a in att.items()}
-            else:
-                y = None
+            y = att_full if capture_attention == "all" else None
             return (lat, k), y
 
         steps = (jnp.arange(n_steps), ts, prev_ts)
@@ -521,12 +546,6 @@ class Convofusion:
             jnp.full_like(batch["active_passive_lsn"], 2),
             jnp.zeros_like(batch["lsn_id"]))
 
-        if self.do_classifier_free_guidance:
-            cond7, masks7 = self.assemble_guidance_cond(
-                cond_real, masks_real, cond_unc, masks_unc)
-        else:
-            cond7, masks7 = cond_real, masks_real
-
         weg = None
         if focus is not None:
             # text-only condition = branch 1 selection (tlsn real, rest
@@ -548,8 +567,8 @@ class Convofusion:
                 eot_idx=eot)
 
         latents, att_seq = self.diffusion_reverse(
-            params, cond7, masks7, key, b, num_inference_steps,
-            capture_attention, weg, preseq)
+            params, cond_real, masks_real, cond_unc, masks_unc, key, b,
+            num_inference_steps, capture_attention, weg, preseq)
 
         # (B, 16, D) -> (2, B, 8, D) for the VAE decoder
         z = latents.reshape(b, self.n_chunks, 2, self.latent_dim)

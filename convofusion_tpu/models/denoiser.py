@@ -22,7 +22,13 @@ import jax.numpy as jnp
 
 from convofusion_tpu.ops.embeddings import TimestepEmbedding, Timesteps
 from convofusion_tpu.ops.positional import build_position_encoding
-from convofusion_tpu.ops.transformer import COND_STREAMS, DenoiserDecoder
+from convofusion_tpu.ops.transformer import (
+    COND_STREAMS,
+    NUM_BRANCHES,
+    REAL_BRANCHES,
+    DenoiserDecoder,
+    FusedDenoiserDecoder,
+)
 
 
 class Denoiser(nn.Module):
@@ -42,6 +48,9 @@ class Denoiser(nn.Module):
     arch: str = "trans_dec"
     text_encoded_dim: int = 512
     audio_encoded_dim: int = 512
+    # batch the five cross-attention streams into one padded attention
+    # (ops/fused_streams.py) — identical math, far better MXU utilization
+    fuse_streams: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -63,7 +72,9 @@ class Denoiser(nn.Module):
             2, d, dtype=self.dtype, name="bh_embedding")
         self.condition_embedding = nn.Embed(
             5, d, dtype=self.dtype, name="condition_embedding")
-        self.decoder = DenoiserDecoder(
+        decoder_cls = (FusedDenoiserDecoder if self.fuse_streams
+                       else DenoiserDecoder)
+        self.decoder = decoder_cls(
             d_model=d,
             num_layers=self.num_layers,
             nhead=self.num_heads,
@@ -86,26 +97,63 @@ class Denoiser(nn.Module):
         """sample (B, T=16, latent_dim); timesteps scalar or (B,);
         cond[stream] (B, Tk, text_encoded_dim); cond_masks[stream] (B, Tk)
         bool, True = pad."""
-        b, t, _ = sample.shape
-        x = self.latent_embd(sample)
-
-        ts = jnp.broadcast_to(jnp.atleast_1d(timesteps), (b,))
-        time_emb = self.time_embedding(
-            self.time_proj(ts).astype(x.dtype))[:, None, :]  # (B, 1, D)
-
         # body/hands token-type embedding on even/odd latent tokens
-        # (denoiser.py:316-324)
-        bh_idx = jnp.arange(t) % 2
-        x = x + self.bh_embedding(bh_idx)[None]
-        x = self.query_pos(x)
+        # (denoiser.py:316-324) + sine_bh query PE + timestep MLP
+        x, time_emb = self._embed_sample(sample, timesteps)
+        mem = self._build_memory(cond, time_emb)
+        out, att_mats = self.decoder(
+            x, mem, time_emb, cond_masks, deterministic=deterministic)
+        return self.latent_proj(out), att_mats
 
+    def _build_memory(self, cond, time_emb):
         mem = {}
         for i, stream in enumerate(COND_STREAMS):
             m = cond[stream] + time_emb  # abl_plus (denoiser.py:252-261)
             m = m + self.condition_embedding(
                 jnp.full((1,), i, jnp.int32))[None]
             mem[stream] = self.mem_pos(m)
+        return mem
 
-        out, att_mats = self.decoder(
-            x, mem, time_emb, cond_masks, deterministic=deterministic)
-        return self.latent_proj(out), att_mats
+    def _embed_sample(self, sample, timesteps):
+        b, t, _ = sample.shape
+        x = self.latent_embd(sample)
+        ts = jnp.broadcast_to(jnp.atleast_1d(timesteps), (b,))
+        time_emb = self.time_embedding(
+            self.time_proj(ts).astype(x.dtype))[:, None, :]
+        bh_idx = jnp.arange(t) % 2
+        x = x + self.bh_embedding(bh_idx)[None]
+        x = self.query_pos(x)
+        return x, time_emb
+
+    def guided(
+        self,
+        sample: jnp.ndarray,
+        timesteps: jnp.ndarray,
+        cond_real: Dict[str, jnp.ndarray],
+        cond_unc: Dict[str, jnp.ndarray],
+        masks_real: Optional[Dict[str, jnp.ndarray]] = None,
+        masks_unc: Optional[Dict[str, jnp.ndarray]] = None,
+        deterministic: bool = True,
+    ):
+        """Classifier-free-guidance forward over all 7 branches at once.
+
+        Exactly equivalent to tiling ``sample`` 7x and assembling the
+        per-branch real/uncond memories (convofusion.py:909-929) but with
+        memory-side LayerNorm + K/V projected once per variant instead of
+        per branch — 3.5x less of the dominant per-step FLOPs.
+
+        Returns (noise_pred (7, B, T, latent_dim), att) where att[stream]
+        is the full-condition branch's (B, L, T, Tk).
+        """
+        assert not self.fuse_streams, (
+            "guided path uses the per-stream layer layout")
+        b = sample.shape[0]
+        x, time_emb = self._embed_sample(sample, timesteps)
+        x7 = jnp.broadcast_to(x[None], (NUM_BRANCHES,) + x.shape)
+
+        mem_real = self._build_memory(cond_real, time_emb)
+        mem_unc = self._build_memory(cond_unc, time_emb)
+        out7, att_mats = self.decoder.guided(
+            x7, mem_real, mem_unc, time_emb, masks_real, masks_unc,
+            REAL_BRANCHES, deterministic)
+        return self.latent_proj(out7), att_mats

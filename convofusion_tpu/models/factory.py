@@ -81,6 +81,7 @@ def build_denoiser(
     text_encoded_dim: int = 512,
     audio_encoded_dim: int = 512,
     nclasses: int = 10,
+    fuse_streams: bool = False,
     compute_dtype="float32",
     **_: object,
 ) -> Denoiser:
@@ -101,6 +102,7 @@ def build_denoiser(
         arch=str(arch),
         text_encoded_dim=int(text_encoded_dim),
         audio_encoded_dim=int(audio_encoded_dim),
+        fuse_streams=bool(fuse_streams),
         dtype=_dtype(compute_dtype),
     )
 

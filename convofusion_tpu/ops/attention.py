@@ -8,6 +8,11 @@ over heads, shape (B, Tq, Tk).
 
 Layout is batch-first; the matmuls are shaped so XLA maps them straight onto
 the MXU ((B*Tq, D) x (D, D) projections and batched (Tq, Tk) logits).
+
+The module is setup-style so the q/k/v/out projections are individually
+addressable — the guidance-aware sampler path projects the two distinct
+condition variants once and reuses them across the seven guidance branches
+(see ops/transformer.py TransformerDecoderLayer2Att.guided).
 """
 from __future__ import annotations
 
@@ -27,7 +32,18 @@ class MultiheadAttention(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        d = self.d_model
+        self.q_proj = nn.Dense(d, kernel_init=xavier_uniform,
+                               dtype=self.dtype, name="q_proj")
+        self.k_proj = nn.Dense(d, kernel_init=xavier_uniform,
+                               dtype=self.dtype, name="k_proj")
+        self.v_proj = nn.Dense(d, kernel_init=xavier_uniform,
+                               dtype=self.dtype, name="v_proj")
+        self.out_proj = nn.Dense(d, kernel_init=xavier_uniform,
+                                 dtype=self.dtype, name="out_proj")
+        self.attn_dropout = nn.Dropout(self.dropout)
+
     def __call__(
         self,
         query,
@@ -46,14 +62,9 @@ class MultiheadAttention(nn.Module):
         head_dim = d // h
         assert head_dim * h == d
 
-        def proj(name):
-            return nn.Dense(
-                d, kernel_init=xavier_uniform, dtype=self.dtype, name=name
-            )
-
-        q = proj("q_proj")(query)
-        k = proj("k_proj")(key)
-        v = proj("v_proj")(value)
+        q = self.q_proj(query)
+        k = self.k_proj(key)
+        v = self.v_proj(value)
 
         b, tq, _ = q.shape
         tk = k.shape[1]
@@ -78,9 +89,31 @@ class MultiheadAttention(nn.Module):
             self.dtype
         )
         if self.dropout > 0.0:
-            weights_d = nn.Dropout(self.dropout)(weights, deterministic=deterministic)
+            weights_d = self.attn_dropout(weights,
+                                          deterministic=deterministic)
         else:
             weights_d = weights
         out = jnp.einsum("bhqk,bkhd->bqhd", weights_d, v).reshape(b, tq, d)
-        out = proj("out_proj")(out)
+        out = self.out_proj(out)
         return out, weights.mean(axis=1)
+
+    # ---- grouped single-head helpers for the guidance-aware fast path
+    def project_kv(self, memory):
+        """(B, Tk, D) -> (k, v), no head split (single-head use)."""
+        return self.k_proj(memory), self.v_proj(memory)
+
+    def grouped_attend(self, q_group, k, v,
+                       key_padding_mask=None):
+        """q_group (G, B, Tq, D) — G guidance branches sharing (B, Tk, D)
+        keys/values.  Single-head.  Returns (out (G,B,Tq,D),
+        weights (G,B,Tq,Tk))."""
+        assert self.num_heads == 1
+        logits = jnp.einsum("gbqd,bkd->gbqk", q_group, k) / jnp.sqrt(
+            jnp.asarray(self.d_model, q_group.dtype))
+        if key_padding_mask is not None:
+            logits = jnp.where(
+                key_padding_mask[None, :, None, :], _BIG_NEG, logits)
+        weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            self.dtype)
+        out = jnp.einsum("gbqk,bkd->gbqd", weights, v)
+        return out, weights

@@ -260,6 +260,14 @@ class TransformerDecoderLayer2Att(nn.Module):
     ``memory`` is a dict keyed by COND_STREAMS: each (B, Tk_i, D).
     ``mem_masks`` optional dict of (B, Tk_i) bool pad masks (True = pad).
     Returns (tgt, att) where att[stream] is (B, Tq, Tk_i).
+
+    Besides the standard ``__call__``, ``guided`` runs the
+    guidance-aware fast path: the seven classifier-free-guidance branches
+    share identical latent queries at entry and each condition stream has
+    only two distinct variants (real / uncond), so the memory-side
+    LayerNorm + K/V projections — the dominant per-step FLOPs — run on B
+    rows per variant instead of 7B (exact same math as tiling the batch,
+    convofusion.py:499-541).
     """
 
     d_model: int
@@ -270,63 +278,134 @@ class TransformerDecoderLayer2Att(nn.Module):
     normalize_before: bool = True
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        assert self.normalize_before, (
+            "production config uses pre-norm (configs/modules/denoiser.yaml)")
+        d = self.d_model
+        self.self_attn = MultiheadAttention(
+            d, self.nhead, self.dropout, dtype=self.dtype, name="self_attn")
+        self.time_block1 = TimeBlock(d, self.dropout, dtype=self.dtype,
+                                     name="time_block1")
+        self.time_block2 = TimeBlock(d, self.dropout, dtype=self.dtype,
+                                     name="time_block2")
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
+        self.norm3 = nn.LayerNorm(epsilon=1e-5, name="norm3")
+        self.cross = {
+            s: MultiheadAttention(d, 1, self.dropout, dtype=self.dtype,
+                                  name=f"multihead_attn_{s}")
+            for s in COND_STREAMS
+        }
+        self.stream_norms = {
+            s: nn.LayerNorm(epsilon=1e-5, name=f"{s}_norm")
+            for s in COND_STREAMS
+        }
+        self.att_fuser = nn.Dense(d, kernel_init=xavier_uniform,
+                                  dtype=self.dtype, name="att_fuser")
+        self.ffn = _FFN(d, self.dim_feedforward, self.dropout,
+                        self.activation, dtype=self.dtype, name="ffn")
+        self.drop = nn.Dropout(self.dropout)
+
     def __call__(self, tgt, memory: Dict[str, jnp.ndarray], time_embed,
                  mem_masks: Optional[Dict[str, jnp.ndarray]] = None,
                  query_pos=None, deterministic: bool = True):
-        assert self.normalize_before, (
-            "production config uses pre-norm (configs/modules/denoiser.yaml)")
         mem_masks = mem_masks or {}
+        drop = lambda x: self.drop(x, deterministic=deterministic)  # noqa
 
-        self_attn = MultiheadAttention(self.d_model, self.nhead, self.dropout,
-                                       dtype=self.dtype, name="self_attn")
-        drop = nn.Dropout(self.dropout)
-
-        # 1. self attention over the 16 latent tokens
-        tgt2 = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
+        # 1. self attention over the latent tokens
+        tgt2 = self.norm1(tgt)
         q = k = _with_pos(tgt2, query_pos)
-        tgt2, _ = self_attn(q, k, tgt2, deterministic=deterministic)
-        tgt = tgt + drop(tgt2, deterministic=deterministic)
+        tgt2, _ = self.self_attn(q, k, tgt2, deterministic=deterministic)
+        tgt = tgt + drop(tgt2)
 
         # 2. first timestep modulation block
-        tgt = tgt + TimeBlock(self.d_model, self.dropout, dtype=self.dtype,
-                              name="time_block1")(tgt, time_embed,
-                                                  deterministic)
+        tgt = tgt + self.time_block1(tgt, time_embed, deterministic)
 
         # 3. five parallel single-head cross attentions, each with its own
         #    memory LayerNorm and pad mask
-        tgt2 = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
+        tgt2 = self.norm2(tgt)
         q_cond = _with_pos(tgt2, query_pos)
         branch_outs = []
         att = {}
         for stream in COND_STREAMS:
-            mem = nn.LayerNorm(epsilon=1e-5, name=f"{stream}_norm")(
-                memory[stream])
-            out, w = MultiheadAttention(
-                self.d_model, 1, self.dropout, dtype=self.dtype,
-                name=f"multihead_attn_{stream}")(
-                    q_cond, mem, mem,
-                    key_padding_mask=mem_masks.get(stream),
-                    deterministic=deterministic)
+            mem = self.stream_norms[stream](memory[stream])
+            out, w = self.cross[stream](
+                q_cond, mem, mem,
+                key_padding_mask=mem_masks.get(stream),
+                deterministic=deterministic)
             branch_outs.append(out)
             att[stream] = w
-        tgt2 = nn.Dense(self.d_model, kernel_init=xavier_uniform,
-                        dtype=self.dtype, name="att_fuser")(
-            jnp.concatenate(branch_outs, axis=-1))
-        tgt = tgt + drop(tgt2, deterministic=deterministic)
+        tgt2 = self.att_fuser(jnp.concatenate(branch_outs, axis=-1))
+        tgt = tgt + drop(tgt2)
 
         # 4. second timestep modulation block
-        tgt = tgt + TimeBlock(self.d_model, self.dropout, dtype=self.dtype,
-                              name="time_block2")(tgt, time_embed,
-                                                  deterministic)
+        tgt = tgt + self.time_block2(tgt, time_embed, deterministic)
 
         # 5. FFN
-        tgt2 = _FFN(self.d_model, self.dim_feedforward, self.dropout,
-                    self.activation, dtype=self.dtype, name="ffn")(
-            nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt),
-            deterministic=deterministic)
-        tgt = tgt + drop(tgt2, deterministic=deterministic)
+        tgt2 = self.ffn(self.norm3(tgt), deterministic=deterministic)
+        tgt = tgt + drop(tgt2)
         return tgt, att
+
+    def guided(self, tgt7, mem_real, mem_unc, time_embed,
+               masks_real=None, masks_unc=None,
+               real_branches=None, deterministic: bool = True):
+        """tgt7 (G, B, Tq, D) guidance-branch-major latents; mem_real /
+        mem_unc (B, Tk_s, D) per stream; time_embed (B, 1, D);
+        ``real_branches[s]`` = sorted tuple of branch indices where the
+        stream is real (all others use the uncond variant).
+
+        Returns (tgt7, att) with att[stream] = (B, Tq, Tk_s) of the LAST
+        real branch (the full-condition branch the samplers keep,
+        convofusion.py:517-519)."""
+        masks_real = masks_real or {}
+        masks_unc = masks_unc or {}
+        g, b, tq, d = tgt7.shape
+        drop = lambda x: self.drop(x, deterministic=deterministic)  # noqa
+
+        # 1. self attention (flatten branches into the batch)
+        tgt2 = self.norm1(tgt7)
+        flat = tgt2.reshape(g * b, tq, d)
+        sa, _ = self.self_attn(flat, flat, flat,
+                               deterministic=deterministic)
+        tgt7 = tgt7 + drop(sa.reshape(g, b, tq, d))
+
+        # 2. first time block (broadcast over branches)
+        tgt7 = tgt7 + self.time_block1(tgt7, time_embed[None],
+                                       deterministic)
+
+        # 3. grouped cross attentions: project K/V once per variant
+        tgt2 = self.norm2(tgt7)
+        branch_outs = []
+        att = {}
+        for stream in COND_STREAMS:
+            mod = self.cross[stream]
+            r_idx = list(real_branches[stream])
+            u_idx = [i for i in range(g) if i not in real_branches[stream]]
+            mem_r = self.stream_norms[stream](mem_real[stream])
+            mem_u = self.stream_norms[stream](mem_unc[stream])
+            k_r, v_r = mod.project_kv(mem_r)
+            k_u, v_u = mod.project_kv(mem_u)
+            q_all = mod.q_proj(tgt2)  # (G, B, Tq, D)
+            o_r, w_r = mod.grouped_attend(
+                q_all[jnp.asarray(r_idx)], k_r, v_r,
+                masks_real.get(stream))
+            o_u, _ = mod.grouped_attend(
+                q_all[jnp.asarray(u_idx)], k_u, v_u,
+                masks_unc.get(stream))
+            out = jnp.zeros_like(q_all)
+            out = out.at[jnp.asarray(r_idx)].set(o_r)
+            out = out.at[jnp.asarray(u_idx)].set(o_u)
+            branch_outs.append(mod.out_proj(out))
+            att[stream] = w_r[-1]  # last real branch = full condition
+        tgt2 = self.att_fuser(jnp.concatenate(branch_outs, axis=-1))
+        tgt7 = tgt7 + drop(tgt2)
+
+        # 4. second time block + 5. FFN
+        tgt7 = tgt7 + self.time_block2(tgt7, time_embed[None],
+                                       deterministic)
+        tgt2 = self.ffn(self.norm3(tgt7), deterministic=deterministic)
+        tgt7 = tgt7 + drop(tgt2)
+        return tgt7, att
 
 
 class DenoiserDecoder(nn.Module):
@@ -342,22 +421,163 @@ class DenoiserDecoder(nn.Module):
     normalize_before: bool = True
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.layers = [
+            TransformerDecoderLayer2Att(
+                self.d_model, self.nhead, self.dim_feedforward,
+                self.dropout, self.activation, self.normalize_before,
+                dtype=self.dtype, name=f"layers_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.final_norm = nn.LayerNorm(epsilon=1e-5, name="norm")
+
     def __call__(self, tgt, memory, time_embed, mem_masks=None,
                  query_pos=None, deterministic: bool = True):
         att_per_layer = {s: [] for s in COND_STREAMS}
         out = tgt
-        for i in range(self.num_layers):
-            out, att = TransformerDecoderLayer2Att(
-                self.d_model, self.nhead, self.dim_feedforward, self.dropout,
-                self.activation, self.normalize_before, dtype=self.dtype,
-                name=f"layers_{i}")(
-                    out, memory, time_embed, mem_masks, query_pos,
-                    deterministic)
+        for layer in self.layers:
+            out, att = layer(out, memory, time_embed, mem_masks,
+                             query_pos, deterministic)
             for s in COND_STREAMS:
                 att_per_layer[s].append(att[s])
         att_mats = {
             s: jnp.stack(v, axis=1) for s, v in att_per_layer.items()
         }
+        out = self.final_norm(out)
+        return out, att_mats
+
+    def guided(self, tgt7, mem_real, mem_unc, time_embed,
+               masks_real=None, masks_unc=None, real_branches=None,
+               deterministic: bool = True):
+        """Guidance-aware stack; att[stream] is the full-cond branch's
+        (B, L, Tq, Tk)."""
+        att_per_layer = {s: [] for s in COND_STREAMS}
+        out = tgt7
+        for layer in self.layers:
+            out, att = layer.guided(
+                out, mem_real, mem_unc, time_embed, masks_real,
+                masks_unc, real_branches, deterministic)
+            for s in COND_STREAMS:
+                att_per_layer[s].append(att[s])
+        att_mats = {
+            s: jnp.stack(v, axis=1) for s, v in att_per_layer.items()
+        }
+        out = self.final_norm(out)
+        return out, att_mats
+
+
+class FusedTransformerDecoderLayer2Att(nn.Module):
+    """TransformerDecoderLayer2Att with the five cross-attention streams
+    batched into one padded attention (see ops/fused_streams.py).
+
+    Mathematically identical to the unfused layer; params for the cross
+    section live under 'cross_streams' (converters in fused_streams.py).
+    """
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "gelu"
+    normalize_before: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, mem_stack, pad_stack, time_embed,
+                 query_pos=None, deterministic: bool = True):
+        from convofusion_tpu.ops.fused_streams import FusedCrossStreams
+
+        assert self.normalize_before
+        self_attn = MultiheadAttention(self.d_model, self.nhead,
+                                       self.dropout, dtype=self.dtype,
+                                       name="self_attn")
+        drop = nn.Dropout(self.dropout)
+
+        tgt2 = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
+        q = k = _with_pos(tgt2, query_pos)
+        tgt2, _ = self_attn(q, k, tgt2, deterministic=deterministic)
+        tgt = tgt + drop(tgt2, deterministic=deterministic)
+
+        tgt = tgt + TimeBlock(self.d_model, self.dropout, dtype=self.dtype,
+                              name="time_block1")(tgt, time_embed,
+                                                  deterministic)
+
+        tgt2 = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
+        q_cond = _with_pos(tgt2, query_pos)
+        cat, weights = FusedCrossStreams(
+            self.d_model, self.dropout, dtype=self.dtype,
+            name="cross_streams")(q_cond, mem_stack, pad_stack,
+                                  deterministic)
+        tgt2 = nn.Dense(self.d_model, kernel_init=xavier_uniform,
+                        dtype=self.dtype, name="att_fuser")(cat)
+        tgt = tgt + drop(tgt2, deterministic=deterministic)
+
+        tgt = tgt + TimeBlock(self.d_model, self.dropout, dtype=self.dtype,
+                              name="time_block2")(tgt, time_embed,
+                                                  deterministic)
+
+        tgt2 = _FFN(self.d_model, self.dim_feedforward, self.dropout,
+                    self.activation, dtype=self.dtype, name="ffn")(
+            nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt),
+            deterministic=deterministic)
+        tgt = tgt + drop(tgt2, deterministic=deterministic)
+        return tgt, weights
+
+
+class FusedDenoiserDecoder(nn.Module):
+    """DenoiserDecoder over fused layers; returns the same per-stream att
+    dict (trimmed to each stream's true length)."""
+
+    d_model: int
+    num_layers: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "gelu"
+    normalize_before: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, time_embed, mem_masks=None,
+                 query_pos=None, deterministic: bool = True):
+        from convofusion_tpu.ops.fused_streams import pad_stream_stack
+
+        mem_stack, pad_stack, lengths = pad_stream_stack(memory, mem_masks)
+        out = tgt
+        per_layer = []
+        for i in range(self.num_layers):
+            out, w = FusedTransformerDecoderLayer2Att(
+                self.d_model, self.nhead, self.dim_feedforward,
+                self.dropout, self.activation, self.normalize_before,
+                dtype=self.dtype, name=f"layers_{i}")(
+                    out, mem_stack, pad_stack, time_embed, query_pos,
+                    deterministic)
+            per_layer.append(w)  # (S, B, Tq, Tmax)
+        stacked = jnp.stack(per_layer, axis=2)  # (S, B, L, Tq, Tmax)
+        att_mats = {
+            s: stacked[i, :, :, :, : lengths[s]]
+            for i, s in enumerate(COND_STREAMS)
+        }
         out = nn.LayerNorm(epsilon=1e-5, name="norm")(out)
         return out, att_mats
+
+
+# guidance branch -> condition streams kept real (convofusion.py:528-541):
+# [all_drop, text, audio, spk, apb, lsnid, full]
+GUIDANCE_BRANCHES = (
+    (),
+    ("tlsn",),
+    ("alsn",),
+    ("spkemb",),
+    ("apb",),
+    ("lsnemb",),
+    ("spkemb", "alsn", "tlsn", "apb", "lsnemb"),
+)
+NUM_BRANCHES = len(GUIDANCE_BRANCHES)
+# per stream: sorted branch indices using the REAL variant (the rest use
+# uncond); the full-condition branch (6) is always last
+REAL_BRANCHES = {
+    s: tuple(b for b, streams in enumerate(GUIDANCE_BRANCHES)
+             if s in streams)
+    for s in COND_STREAMS
+}

@@ -1,0 +1,71 @@
+"""The guidance-aware denoiser path must exactly match tiling the batch 7x
+with per-branch assembled conditions (the reference's formulation)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from convofusion_tpu.models.denoiser import Denoiser
+from convofusion_tpu.ops.transformer import (
+    COND_STREAMS,
+    GUIDANCE_BRANCHES,
+    NUM_BRANCHES,
+)
+
+D = 64
+
+
+def _cond(key, bs):
+    ks = jax.random.split(key, 5)
+    sizes = dict(spkemb=9, alsn=12, tlsn=7, apb=8, lsnemb=1)
+    return {s: jax.random.normal(k, (bs, sizes[s], D))
+            for s, k in zip(COND_STREAMS, ks)}
+
+
+def test_guided_matches_tiled_assembly():
+    bs = 2
+    den = Denoiser(nfeats=189, latent_dim=32, ff_size=128, num_layers=3,
+                   num_heads=4, dropout=0.0, text_encoded_dim=D,
+                   audio_encoded_dim=D)
+    sample = jax.random.normal(jax.random.PRNGKey(0), (bs, 16, 32))
+    cond_real = _cond(jax.random.PRNGKey(1), bs)
+    cond_unc = _cond(jax.random.PRNGKey(2), bs)
+    masks_real = {
+        "tlsn": jnp.zeros((bs, 7), bool).at[0, 5:].set(True),
+        "spkemb": jnp.zeros((bs, 9), bool).at[1, 6:].set(True),
+    }
+    masks_unc = {
+        "tlsn": jnp.zeros((bs, 7), bool).at[:, 1:].set(True),
+        "spkemb": jnp.zeros((bs, 9), bool).at[:, 1:].set(True),
+    }
+    params = den.init({"params": jax.random.PRNGKey(3)}, sample,
+                      jnp.asarray(500), cond_real, masks_real)["params"]
+
+    # reference formulation: tile sample, assemble per-branch memories
+    cond7 = {
+        s: jnp.concatenate(
+            [cond_real[s] if s in GUIDANCE_BRANCHES[g] else cond_unc[s]
+             for g in range(NUM_BRANCHES)], axis=0)
+        for s in COND_STREAMS
+    }
+    masks7 = {
+        s: jnp.concatenate(
+            [masks_real[s] if s in GUIDANCE_BRANCHES[g] else masks_unc[s]
+             for g in range(NUM_BRANCHES)], axis=0)
+        for s in masks_real
+    }
+    tiled = jnp.tile(sample, (NUM_BRANCHES, 1, 1))
+    out_ref, att_ref = den.apply({"params": params}, tiled,
+                                 jnp.asarray(500), cond7, masks7)
+    out_ref = out_ref.reshape(NUM_BRANCHES, bs, 16, 32)
+
+    out_g, att_g = den.apply(
+        {"params": params}, sample, jnp.asarray(500), cond_real, cond_unc,
+        masks_real, masks_unc, method=den.guided)
+
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_ref),
+                               rtol=2e-4, atol=2e-4)
+    # full-condition branch attention maps must match chunk(-1)
+    for s in COND_STREAMS:
+        np.testing.assert_allclose(
+            np.asarray(att_g[s]), np.asarray(att_ref[s][-bs:]),
+            rtol=2e-4, atol=2e-4)
