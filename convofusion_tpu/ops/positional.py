@@ -83,3 +83,20 @@ def build_position_encoding(d_model: int, position_embedding: str = "sine",
     if position_embedding in ("v3", "learned"):
         return PositionEmbeddingLearned1D(d_model, max_len, name=name)
     raise ValueError(f"not supported {position_embedding}")
+
+
+class PositionalEncoding(nn.Module):
+    """Sine PE + dropout (reference:
+    convofusion/models/operator/position_encoding_layer.py, exported via
+    operator/__init__.py; kept for API completeness)."""
+
+    d_model: int
+    dropout: float = 0.1
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        pe = jnp.asarray(sinusoid_table(self.max_len, self.d_model),
+                         dtype=x.dtype)
+        x = x + pe[None, : x.shape[1], :]
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)

@@ -1,0 +1,65 @@
+"""Infra pieces: text-embedding cache, progress logger, checkpoint
+surgeries."""
+import logging
+
+import numpy as np
+
+from convofusion_tpu.callback.progress import (
+    ProgressLogger,
+    host_memory_percent,
+)
+from convofusion_tpu.models.text_cache import TextEmbeddingCache
+from convofusion_tpu.train.checkpoint import (
+    reinject_frozen_text_model,
+    strip_frozen_text_model,
+)
+
+
+def test_text_cache_hits_and_disk(tmp_path):
+    cache = TextEmbeddingCache(str(tmp_path))
+    calls = []
+
+    def encode(texts):
+        calls.append(list(texts))
+        emb = np.stack([np.full((4, 8), hash(t) % 97, np.float32)
+                        for t in texts])
+        mask = np.ones((len(texts), 4), bool)
+        return emb, mask
+
+    texts = ["hello there", "general kenobi", "hello there"]
+    emb, mask = cache.encode_batch(texts, 4, encode)
+    assert emb.shape == (3, 4, 8)
+    assert calls == [["hello there", "general kenobi"]]  # dedup within call
+    np.testing.assert_array_equal(emb[0], emb[2])
+
+    # second batch: all hits, encoder not called
+    emb2, _ = cache.encode_batch(["general kenobi"], 4, encode)
+    assert len(calls) == 1
+    np.testing.assert_array_equal(emb2[0], emb[1])
+
+    # fresh cache instance reads from disk
+    cache2 = TextEmbeddingCache(str(tmp_path))
+    emb3, _ = cache2.encode_batch(["hello there"], 4, encode)
+    assert len(calls) == 1
+    np.testing.assert_array_equal(emb3[0], emb[0])
+
+
+def test_progress_logger_and_meminfo(caplog):
+    assert host_memory_percent() is None or 0 < host_memory_percent() < 100
+    logger = logging.getLogger("test_progress")
+    pl = ProgressLogger(logger, {"loss": "total"})
+    with caplog.at_level(logging.INFO, logger="test_progress"):
+        pl.on_epoch_end(3, {"total": 1.25, "other": 9.0})
+    assert "Epoch 3" in caplog.text and "1.2500" in caplog.text
+
+
+def test_strip_and_reinject_text_model():
+    current = {"text_encoder": {"text_model": {"w": np.ones(3)},
+                                "projection_1": {"kernel": np.zeros(2)}},
+               "denoiser": {"x": np.ones(1)}}
+    stripped = strip_frozen_text_model(current)
+    assert "text_model" not in stripped["text_encoder"]
+    assert "projection_1" in stripped["text_encoder"]
+    restored = reinject_frozen_text_model(stripped, current)
+    np.testing.assert_array_equal(
+        restored["text_encoder"]["text_model"]["w"], np.ones(3))
