@@ -28,6 +28,7 @@ from convofusion_tpu.ops.transformer import (
     REAL_BRANCHES,
     DenoiserDecoder,
     FusedDenoiserDecoder,
+    SkipTransformerEncoder,
 )
 
 
@@ -48,16 +49,15 @@ class Denoiser(nn.Module):
     arch: str = "trans_dec"
     text_encoded_dim: int = 512
     audio_encoded_dim: int = 512
+    nclasses: int = 10
     # batch the five cross-attention streams into one padded attention
     # (ops/fused_streams.py) — identical math, far better MXU utilization
     fuse_streams: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        if self.arch != "trans_dec":
-            raise ValueError(
-                "TPU build implements the production 'trans_dec' arch "
-                "(denoiser.py:153-169); 'trans_enc' is a legacy ablation")
+        if self.arch not in ("trans_dec", "trans_enc"):
+            raise ValueError(f"Not supported architechure {self.arch}!")
         d = self.text_encoded_dim
         self.latent_embd = nn.Dense(d, dtype=self.dtype, name="latent_embd")
         self.latent_proj = nn.Dense(
@@ -72,19 +72,44 @@ class Denoiser(nn.Module):
             2, d, dtype=self.dtype, name="bh_embedding")
         self.condition_embedding = nn.Embed(
             5, d, dtype=self.dtype, name="condition_embedding")
-        decoder_cls = (FusedDenoiserDecoder if self.fuse_streams
-                       else DenoiserDecoder)
-        self.decoder = decoder_cls(
-            d_model=d,
-            num_layers=self.num_layers,
-            nhead=self.num_heads,
-            dim_feedforward=self.ff_size,
-            dropout=self.dropout,
-            activation=self.activation,
-            normalize_before=self.normalize_before,
-            dtype=self.dtype,
-            name="decoder",
-        )
+        if self.arch == "trans_dec":
+            decoder_cls = (FusedDenoiserDecoder if self.fuse_streams
+                           else DenoiserDecoder)
+            self.decoder = decoder_cls(
+                d_model=d,
+                num_layers=self.num_layers,
+                nhead=self.num_heads,
+                dim_feedforward=self.ff_size,
+                dropout=self.dropout,
+                activation=self.activation,
+                normalize_before=self.normalize_before,
+                dtype=self.dtype,
+                name="decoder",
+            )
+        else:
+            # legacy 'trans_enc' ablation: concat-conditioning through a
+            # skip encoder (denoiser.py:129-152, 283-307).  NB the
+            # reference sizes this encoder with latent_dim, which only
+            # type-checks when latent_dim == text_encoded_dim; we build it
+            # at text_encoded_dim so it works for all sizes.
+            self.encoder = SkipTransformerEncoder(
+                d_model=d,
+                num_layers=self.num_layers,
+                nhead=self.num_heads,
+                dim_feedforward=self.ff_size,
+                dropout=self.dropout,
+                activation=self.activation,
+                normalize_before=self.normalize_before,
+                dtype=self.dtype,
+                name="encoder",
+            )
+        if self.condition in ("text", "text_uncond"):
+            # ReLU+Linear text projection when dims differ
+            # (denoiser.py:73-76)
+            self.emb_proj = nn.Dense(d, dtype=self.dtype, name="emb_proj")
+        elif self.condition == "action":
+            self.emb_proj = EmbedAction(
+                self.nclasses, d, dtype=self.dtype, name="emb_proj")
 
     def __call__(
         self,
@@ -95,15 +120,40 @@ class Denoiser(nn.Module):
         deterministic: bool = True,
     ):
         """sample (B, T=16, latent_dim); timesteps scalar or (B,);
-        cond[stream] (B, Tk, text_encoded_dim); cond_masks[stream] (B, Tk)
-        bool, True = pad."""
+        cond[stream] (B, Tk, text_encoded_dim) (or a single (B, Tk, D)
+        array for the legacy text/action conditions); cond_masks[stream]
+        (B, Tk) bool, True = pad."""
         # body/hands token-type embedding on even/odd latent tokens
         # (denoiser.py:316-324) + sine_bh query PE + timestep MLP
         x, time_emb = self._embed_sample(sample, timesteps)
+        if self.arch == "trans_enc":
+            return self._forward_trans_enc(x, time_emb, cond,
+                                           deterministic)
         mem = self._build_memory(cond, time_emb)
         out, att_mats = self.decoder(
             x, mem, time_emb, cond_masks, deterministic=deterministic)
         return self.latent_proj(out), att_mats
+
+    def _forward_trans_enc(self, x, time_emb, cond, deterministic):
+        """Legacy concat-conditioning encoder path (denoiser.py:283-307).
+
+        For 'text+audio' the reference branch references undefined
+        aspk/tspk variables (a latent bug, SURVEY.md §7); we concatenate
+        the five production streams instead.
+        """
+        n_sample = x.shape[1]
+        if self.condition in ("text", "text_uncond"):
+            emb = time_emb + self.emb_proj(nn.relu(cond))
+            xseq = jnp.concatenate([x, emb], axis=1)
+        elif self.condition == "action":
+            emb = time_emb + self.emb_proj(cond, deterministic)
+            xseq = jnp.concatenate([x, emb], axis=1)
+        else:
+            streams = [cond[s] + time_emb for s in COND_STREAMS]
+            xseq = jnp.concatenate([x] + streams, axis=1)
+        xseq = self.query_pos(xseq)
+        tokens = self.encoder(xseq, deterministic=deterministic)
+        return self.latent_proj(tokens[:, :n_sample]), {}
 
     def _build_memory(self, cond, time_emb):
         mem = {}
@@ -157,3 +207,40 @@ class Denoiser(nn.Module):
             x7, mem_real, mem_unc, time_emb, masks_real, masks_unc,
             REAL_BRANCHES, deterministic)
         return self.latent_proj(out7), att_mats
+
+
+class EmbedAction(nn.Module):
+    """Action-class condition embedding (denoiser.py:389-437): lookup +
+    classifier-free uncond masking (bernoulli drop at train time; the
+    first half of the batch zeroed at guided inference)."""
+
+    num_actions: int
+    latent_dim: int
+    guidance_scale: float = 7.5
+    guidance_uncondp: float = 0.1
+    force_mask: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, action, deterministic: bool = True):
+        table = self.param(
+            "action_embedding", nn.initializers.xavier_uniform(),
+            (self.num_actions, self.latent_dim))
+        idx = jnp.asarray(action)[:, 0].astype(jnp.int32)
+        out = table[idx]
+        b = out.shape[0]
+        if self.force_mask:
+            out = jnp.zeros_like(out)
+        elif not deterministic and self.guidance_uncondp > 0.0:
+            key = self.make_rng("dropout")
+            import jax
+
+            mask = jax.random.bernoulli(
+                key, self.guidance_uncondp, (b, 1)).astype(out.dtype)
+            out = out * (1.0 - mask)
+        elif deterministic and self.guidance_scale > 1.0:
+            # guided inference: first half of the batch is unconditional
+            # (denoiser.py:410-414)
+            half = jnp.arange(b) < b // 2
+            out = jnp.where(half[:, None], 0.0, out)
+        return out[:, None, :].astype(self.dtype)

@@ -44,10 +44,19 @@ def build_vae(
     compute_dtype="float32",
     **_: object,
 ) -> ConvoFusionVae:
+    mlp_dist = False
+    if ablation is not None:
+        try:
+            mlp_dist = bool(ablation.get("MLP_DIST", False)
+                            if hasattr(ablation, "get")
+                            else getattr(ablation, "MLP_DIST", False))
+        except Exception:
+            pass
     return ConvoFusionVae(
         nfeats=int(nfeats),
         latent_size=int(latent_dim[0]),
         latent_dim=int(latent_dim[-1]),
+        mlp_dist=mlp_dist,
         ff_size=int(ff_size),
         num_layers=int(num_layers),
         num_heads=int(num_heads),
@@ -102,6 +111,7 @@ def build_denoiser(
         arch=str(arch),
         text_encoded_dim=int(text_encoded_dim),
         audio_encoded_dim=int(audio_encoded_dim),
+        nclasses=int(nclasses),
         fuse_streams=bool(fuse_streams),
         dtype=_dtype(compute_dtype),
     )

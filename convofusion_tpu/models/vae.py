@@ -41,6 +41,7 @@ class ConvoFusionVae(nn.Module):
     num_heads: int = 2
     dropout: float = 0.1
     arch: str = "encoder_decoder"
+    mlp_dist: bool = False
     normalize_before: bool = True
     activation: str = "gelu"
     position_embedding: str = "sine"
@@ -68,20 +69,36 @@ class ConvoFusionVae(nn.Module):
 
         self.body_encoder = SkipTransformerEncoder(**kw, name="body_encoder")
         self.hands_encoder = SkipTransformerEncoder(**kw, name="hands_encoder")
-        if self.arch != "encoder_decoder":
-            raise ValueError(
-                "TPU build implements the production 'encoder_decoder' arch "
-                "(vae.py:101-123); 'all_encoder' is a legacy ablation")
-        self.body_decoder = SkipTransformerDecoder(**kw, name="body_decoder")
-        self.hands_decoder = SkipTransformerDecoder(**kw, name="hands_decoder")
+        if self.arch == "encoder_decoder":
+            # production arch (configs/modules/motion_vae.yaml)
+            self.body_decoder = SkipTransformerDecoder(
+                **kw, name="body_decoder")
+            self.hands_decoder = SkipTransformerDecoder(
+                **kw, name="hands_decoder")
+        elif self.arch == "all_encoder":
+            # legacy ablation: decode via encoder-only stacks over
+            # [latent tokens; queries] (vae.py:94-100, 296-317)
+            self.body_decoder = SkipTransformerEncoder(
+                **kw, name="body_decoder")
+            self.hands_decoder = SkipTransformerEncoder(
+                **kw, name="hands_decoder")
+        else:
+            raise ValueError("Not support architecture!")
 
-        # two learnable distribution tokens each (mu, logvar); MLP_DIST=False
-        # in production (vae.py:141-145)
+        # distribution heads: MLP_DIST=False in production uses 2 learnable
+        # tokens (mu, logvar); MLP_DIST=True uses latent_size tokens + a
+        # Linear d -> 2d head (vae.py:134-145)
         init = nn.initializers.normal(stddev=1.0)
+        n_tok = self.latent_size if self.mlp_dist else self.latent_size * 2
         self.body_global_motion_token = self.param(
-            "body_global_motion_token", init, (self.latent_size * 2, d))
+            "body_global_motion_token", init, (n_tok, d))
         self.hands_global_motion_token = self.param(
-            "hands_global_motion_token", init, (self.latent_size * 2, d))
+            "hands_global_motion_token", init, (n_tok, d))
+        if self.mlp_dist:
+            self.body_dist_layer = nn.Dense(
+                2 * d, dtype=self.dtype, name="body_dist_layer")
+            self.hands_dist_layer = nn.Dense(
+                2 * d, dtype=self.dtype, name="hands_dist_layer")
 
         self.body_skel_embedding = nn.Dense(
             d, dtype=self.dtype, name="body_skel_embedding")
@@ -126,15 +143,26 @@ class ConvoFusionVae(nn.Module):
         xseq_h = self.query_pos_encoder(
             jnp.concatenate([dist_h, xh], axis=1))
 
+        n_tok = (self.latent_size if self.mlp_dist
+                 else 2 * self.latent_size)
         tok_b = self.body_encoder(
-            xseq_b, deterministic=deterministic)[:, : 2 * self.latent_size]
+            xseq_b, deterministic=deterministic)[:, :n_tok]
         tok_h = self.hands_encoder(
-            xseq_h, deterministic=deterministic)[:, : 2 * self.latent_size]
+            xseq_h, deterministic=deterministic)[:, :n_tok]
 
-        b_mu, b_logvar = (
-            tok_b[:, : self.latent_size], tok_b[:, self.latent_size:])
-        h_mu, h_logvar = (
-            tok_h[:, : self.latent_size], tok_h[:, self.latent_size:])
+        if self.mlp_dist:
+            # Linear d -> 2d head splits mu/logvar (vae.py:241-248)
+            db = self.body_dist_layer(tok_b)
+            dh = self.hands_dist_layer(tok_h)
+            b_mu, b_logvar = (db[..., : self.latent_dim],
+                              db[..., self.latent_dim:])
+            h_mu, h_logvar = (dh[..., : self.latent_dim],
+                              dh[..., self.latent_dim:])
+        else:
+            b_mu, b_logvar = (
+                tok_b[:, : self.latent_size], tok_b[:, self.latent_size:])
+            h_mu, h_logvar = (
+                tok_h[:, : self.latent_size], tok_h[:, self.latent_size:])
 
         # (2, B, n_chunks, D): index 0 = body, 1 = hands
         mu = jnp.stack([b_mu, h_mu], axis=0).reshape(2, b, n_chunks, -1)
@@ -161,15 +189,27 @@ class ConvoFusionVae(nn.Module):
         (vae.py:268-338) — chunks are *jointly* decoded.
         """
         _, b, n_chunks, d = z.shape
-        queries = self.query_pos_decoder(
-            jnp.zeros((b, nframes, d), z.dtype))
-        z_b = self.mem_pos_decoder(z[0])
-        z_h = self.mem_pos_decoder(z[1])
-
-        out_b = self.body_decoder(
-            queries, z_b, deterministic=deterministic)
-        out_h = self.hands_decoder(
-            queries, z_h, deterministic=deterministic)
+        if self.arch == "encoder_decoder":
+            queries = self.query_pos_decoder(
+                jnp.zeros((b, nframes, d), z.dtype))
+            z_b = self.mem_pos_decoder(z[0])
+            z_h = self.mem_pos_decoder(z[1])
+            out_b = self.body_decoder(
+                queries, z_b, deterministic=deterministic)
+            out_h = self.hands_decoder(
+                queries, z_h, deterministic=deterministic)
+        else:
+            # all_encoder ablation: encoder over [latents; zero queries],
+            # keep the query suffix (vae.py:296-317)
+            queries = jnp.zeros((b, nframes, d), z.dtype)
+            xseq_b = self.query_pos_decoder(
+                jnp.concatenate([z[0], queries], axis=1))
+            xseq_h = self.query_pos_decoder(
+                jnp.concatenate([z[1], queries], axis=1))
+            out_b = self.body_decoder(
+                xseq_b, deterministic=deterministic)[:, n_chunks:]
+            out_h = self.hands_decoder(
+                xseq_h, deterministic=deterministic)[:, n_chunks:]
 
         out = jnp.concatenate(
             [self.body_final_layer(out_b), self.hands_final_layer(out_h)],
