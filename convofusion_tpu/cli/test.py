@@ -58,7 +58,15 @@ def main(argv=None):
 
     loader = datamodule.test_dataloader()
     times = []
+    timer = None
+    if bool(cfg.TEST.get("COUNT_TIME", False)):
+        from convofusion_tpu.utils.profiling import SampleTimer
+
+        timer = SampleTimer(int(cfg.TEST.BATCH_SIZE), cfg.FOLDER_EXP,
+                            log=logger.info)
     for batch in loader:
+        if timer:
+            timer.start()
         t0 = time.time()
         if cfg.TRAIN.STAGE == "vae":
             motion = jnp.asarray(batch["motion"])
@@ -90,6 +98,8 @@ def main(argv=None):
             capture_attention=capture, focus=focus)
         motion.block_until_ready()
         times.append(time.time() - t0)
+        if timer:
+            timer.stop()
         logger.info(
             f"gen time: {times[-1]:.2f}s for {len(batch['length'])} "
             f"samples")
@@ -122,6 +132,8 @@ def main(argv=None):
     if times:
         logger.info(
             f"mean time/batch: {np.mean(times):.2f}s over {len(times)}")
+    if timer:
+        timer.dump()
     print(f"results saved to {out_dir}")
     return out_dir
 

@@ -30,9 +30,15 @@ def main(argv=None):
     )
     from convofusion_tpu.train.trainer import Trainer
     from convofusion_tpu.utils.logger import create_logger
+    from convofusion_tpu.utils.metrics_logger import MetricsLogger
 
     cfg = parse_args("train", argv)
     logger = create_logger(cfg, "train")
+    metrics = MetricsLogger(
+        cfg.FOLDER_EXP,
+        enable_wandb=not bool(cfg.LOGGER.WANDB.get("OFFLINE", True)),
+        wandb_project=cfg.LOGGER.WANDB.get("PROJECT"),
+        wandb_resume_id=cfg.LOGGER.WANDB.get("RESUME_ID"))
     logger.info(f"stage={cfg.TRAIN.STAGE} name={cfg.NAME}")
 
     datamodule = get_datasets(cfg)[0]
@@ -97,10 +103,13 @@ def main(argv=None):
         logger.info(
             f"epoch {epoch}: loss={mean_loss:.4f} "
             f"({time.time() - t0:.1f}s, {len(losses)} steps)")
+        metrics.log({"total/train": mean_loss,
+                     "epoch_seconds": time.time() - t0}, step=epoch)
         if (epoch + 1) % save_every == 0 or \
                 epoch == int(cfg.TRAIN.END_EPOCH) - 1:
             path = save_checkpoint(ckpt_dir, epoch, params, opt_state)
             logger.info(f"saved {path}")
+    metrics.close()
     return params
 
 

@@ -124,6 +124,10 @@ class Convofusion:
                 cfg.model.noise_scheduler)
             self.num_inference_timesteps = int(
                 cfg.model.scheduler.get("num_inference_timesteps", 1000))
+            # fused pallas guidance+scheduler step (exact math; see
+            # ops/pallas_step.py) — on by default, interpret mode off-TPU
+            self.use_pallas_step = bool(
+                cfg.get("TPU", {}).get("PALLAS_STEP", True))
 
     # ------------------------------------------------------------ init params
     def init_params(self, key) -> Dict:
@@ -403,6 +407,13 @@ class Convofusion:
         """
         use_guided = (self.do_classifier_free_guidance
                       and not self.denoiser.fuse_streams)
+        # fused pallas guidance+scheduler step: epsilon prediction with
+        # eta=0 DDIM or fixed_small DDPM only (ops/pallas_step.py)
+        use_pallas = (use_guided and self.use_pallas_step
+                      and self.predict_epsilon
+                      and self.scheduler.clip_sample
+                      and (self.scheduler.variant == "ddpm"
+                           or self.scheduler.eta == 0.0))
         if self.do_classifier_free_guidance and not use_guided:
             cond7, masks7 = self.assemble_guidance_cond(
                 cond_real, masks_real, cond_unc, masks_unc)
@@ -491,8 +502,29 @@ class Convofusion:
                     {"params": params["denoiser"]}, lat, t, cond_real,
                     cond_unc, masks_real, masks_unc,
                     method=self.denoiser.guided)
-                noise_pred = self.guidance_combine_branches(noise_pred_b)
                 att_full = att  # already the full-cond branch
+                if use_pallas:
+                    from convofusion_tpu.ops.pallas_step import (
+                        fused_guided_step,
+                    )
+
+                    acp = jnp.asarray(self.scheduler.alphas_cumprod)
+                    alpha_t = acp[t]
+                    alpha_prev = jnp.where(
+                        pt >= 0, acp[jnp.clip(pt, 0)], jnp.float32(1.0))
+                    noise = jax.random.normal(k_step, lat.shape, lat.dtype)
+                    lat = fused_guided_step(
+                        noise_pred_b, lat, noise, alpha_t, alpha_prev,
+                        jnp.float32(self.guidance_scale),
+                        jnp.float32(
+                            1.0 if self.scheduler.variant == "ddpm"
+                            else 0.0),
+                        (t > 0).astype(jnp.float32),
+                        jnp.float32(1.0),
+                        interpret=jax.default_backend() != "tpu")
+                    y = att_full if capture_attention == "all" else None
+                    return (lat, k), y
+                noise_pred = self.guidance_combine_branches(noise_pred_b)
             elif self.do_classifier_free_guidance:
                 lat_in = jnp.tile(lat, (NUM_BRANCHES, 1, 1))
                 noise_pred7, att = self.denoiser.apply(
