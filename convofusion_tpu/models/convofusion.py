@@ -21,7 +21,6 @@ TPU-first re-design:
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Tuple
 
 import jax

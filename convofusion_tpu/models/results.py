@@ -7,8 +7,6 @@ words, semantic info, meta — the layout quant_eval consumes.
 """
 from __future__ import annotations
 
-import os
-from os.path import join as pjoin
 from pathlib import Path
 from typing import Dict, List, Optional
 

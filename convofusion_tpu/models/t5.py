@@ -13,8 +13,6 @@ weights load through ``convofusion_tpu.compat.torch_loader`` /
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np

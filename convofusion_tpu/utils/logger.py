@@ -6,7 +6,6 @@ FOLDER/<model_type>/<NAME>, config snapshot, file+console logging).
 from __future__ import annotations
 
 import logging
-import os
 import time
 from pathlib import Path
 
