@@ -33,6 +33,10 @@ def main(argv=None):
     from convofusion_tpu.utils.metrics_logger import MetricsLogger
 
     cfg = parse_args("train", argv)
+    # multi-host SPMD: every host runs this script; jax.distributed wires
+    # the DCN mesh (reference scale-out was single-host Lightning DDP)
+    if bool(cfg.get("TPU", {}).get("MULTIHOST", False)):
+        jax.distributed.initialize()
     logger = create_logger(cfg, "train")
     metrics = MetricsLogger(
         cfg.FOLDER_EXP,

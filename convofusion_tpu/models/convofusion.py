@@ -223,6 +223,27 @@ class Convofusion:
         )
         return losses["total"], losses
 
+    def train_vae_diffusion_loss(self, params, batch, key
+                                 ) -> Tuple[jnp.ndarray, Dict]:
+        """Joint 'vae_diffusion' stage (convofusion.py:1097-1109): VAE
+        losses (trainable VAE) + diffusion losses on the same batch.
+
+        NB the reference additionally logs a gen_feature term computed
+        from a no_grad sampling pass — it is detached there, so it never
+        contributes gradient; we surface generation quality through the
+        eval pipeline instead.
+        """
+        k_vae, k_diff = jax.random.split(key)
+        vae_batch = {"motion": batch["motion_lsn"]}
+        vae_total, vae_losses_d = self.train_vae_loss(
+            params, vae_batch, k_vae)
+        diff_total, diff_losses_d = self.train_diffusion_loss(
+            params, batch, k_diff)
+        losses = {**{f"vae_{k}": v for k, v in vae_losses_d.items()},
+                  **diff_losses_d}
+        losses["total"] = vae_total + diff_total
+        return losses["total"], losses
+
     # ------------------------------------------------------ condition encoding
     def encode_text(self, params, ids, tmask, deterministic=True, rngs=None):
         emb, _ = self.text_encoder.apply(

@@ -38,6 +38,8 @@ class Trainer:
     def loss_fn(self) -> Callable:
         if self.stage == "vae":
             return self.model.train_vae_loss
+        if self.stage == "vae_diffusion":
+            return self.model.train_vae_diffusion_loss
         return self.model.train_diffusion_loss
 
     def init_state(self, key):

@@ -139,3 +139,18 @@ def test_attention_capture(diff_model):
     # (steps, B, layers, 16, Tk) per stream
     assert att_seq["tlsn"].shape[:2] == (3, B)
     assert att_seq["tlsn"].shape[3] == 16
+
+
+def test_vae_diffusion_joint_stage(diff_model):
+    model, params, raw, batch, _ = diff_model
+    model_vd = model  # same modules; stage string only affects dispatch
+    loss, losses = jax.jit(model_vd.train_vae_diffusion_loss)(
+        params, batch, jax.random.PRNGKey(11))
+    assert np.isfinite(float(loss))
+    assert "vae_recons_feature" in losses and "inst_loss" in losses
+    grads = jax.grad(lambda p: model_vd.train_vae_diffusion_loss(
+        p, batch, jax.random.PRNGKey(11))[0])(params)
+    # joint stage trains the VAE (through the vae loss branch)
+    vae_g = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), grads["vae"], 0.0)
+    assert vae_g > 0
