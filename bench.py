@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=96)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--dtype", default="bfloat16",

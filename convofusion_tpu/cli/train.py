@@ -109,6 +109,20 @@ def main(argv=None):
             f"({time.time() - t0:.1f}s, {len(losses)} steps)")
         metrics.log({"total/train": mean_loss,
                      "epoch_seconds": time.time() - t0}, step=epoch)
+
+        # validation pass (reference VAL_EVERY_STEPS cadence)
+        val_every = int(cfg.LOGGER.get("VAL_EVERY_STEPS", 0) or 0)
+        if val_every and (epoch + 1) % val_every == 0:
+            val_fn = jax.jit(trainer.loss_fn())
+            val_losses = []
+            for vbatch in datamodule.val_dataloader():
+                key, k = jax.random.split(key)
+                vloss, _ = val_fn(params, prepare(vbatch), k)
+                val_losses.append(float(vloss))
+            if val_losses:
+                vmean = float(np.mean(val_losses))
+                logger.info(f"epoch {epoch}: val loss={vmean:.4f}")
+                metrics.log({"total/val": vmean}, step=epoch)
         if (epoch + 1) % save_every == 0 or \
                 epoch == int(cfg.TRAIN.END_EPOCH) - 1:
             path = save_checkpoint(ckpt_dir, epoch, params, opt_state)

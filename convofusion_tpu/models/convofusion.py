@@ -627,3 +627,9 @@ class Convofusion:
         z = jnp.stack([z[:, :, 0], z[:, :, 1]], axis=0)
         motion = self.vae_decode(params, z)
         return motion, latents, att_seq
+
+
+def gen_from_latent(model: Convofusion, params, latent, nframes=None):
+    """Decode motion straight from a latent (reference convofusion.py:
+    287-294 ``gen_from_latent``)."""
+    return model.vae_decode(params, latent, nframes)
