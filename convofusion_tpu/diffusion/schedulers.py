@@ -191,6 +191,47 @@ class DiffusionScheduler:
 
         raise ValueError(f"unknown scheduler variant {self.variant}")
 
+    # --- DPM-Solver++ (2M), data-prediction multistep ---------------------
+    def _lambda(self, acp_t):
+        alpha = jnp.sqrt(acp_t)
+        sigma = jnp.sqrt(1.0 - acp_t)
+        return jnp.log(jnp.maximum(alpha, 1e-20)) - jnp.log(
+            jnp.maximum(sigma, 1e-20))
+
+    def dpmpp_2m_step(self, model_output, t, prev_t, sample,
+                      prev_d, prev_lambda, is_first):
+        """One DPM-Solver++ 2M update (beyond-parity fast sampler).
+
+        Carries (prev_d, prev_lambda) across steps; ``is_first`` marks the
+        first iteration (falls back to the 1st-order DPM-Solver++ update).
+        Returns (prev_sample, x0, new_prev_d, new_lambda).
+        """
+        acp = jnp.asarray(self.alphas_cumprod)
+        acp_t = acp[t]
+        acp_prev = jnp.where(prev_t >= 0, acp[jnp.clip(prev_t, 0)],
+                             jnp.float32(1.0))
+        x0, _ = self._pred_x0_eps(model_output, sample, acp_t, 1.0 - acp_t)
+
+        lam_t = self._lambda(acp_t)
+        lam_prev = self._lambda(acp_prev)
+        h = lam_prev - lam_t
+        sigma_t = jnp.sqrt(1.0 - acp_t)
+        sigma_prev = jnp.sqrt(1.0 - acp_prev)
+        alpha_prev = jnp.sqrt(acp_prev)
+
+        # 2nd-order combined data prediction
+        h_last = lam_t - prev_lambda
+        r = h_last / jnp.where(h == 0, 1.0, h)
+        d2 = (1.0 + 1.0 / (2.0 * jnp.maximum(r, 1e-8))) * x0 \
+            - (1.0 / (2.0 * jnp.maximum(r, 1e-8))) * prev_d
+        d = jnp.where(is_first, x0, d2)
+
+        update = (sigma_prev / jnp.maximum(sigma_t, 1e-20)) * sample \
+            - alpha_prev * (jnp.exp(-h) - 1.0) * d
+        # final step (prev_t < 0): sigma_prev = 0 -> return x0 exactly
+        prev_sample = jnp.where(prev_t >= 0, update, x0)
+        return prev_sample, x0, x0, lam_t
+
     def pred_original_sample(self, model_output, t, sample):
         """x0 prediction only (used by the latent loss, convofusion.py:619)."""
         acp = jnp.asarray(self.alphas_cumprod)

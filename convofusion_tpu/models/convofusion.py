@@ -433,7 +433,9 @@ class Convofusion:
                       and self.predict_epsilon
                       and self.scheduler.clip_sample
                       and (self.scheduler.variant == "ddpm"
-                           or self.scheduler.eta == 0.0))
+                           or (self.scheduler.variant == "ddim"
+                               and self.scheduler.eta == 0.0)))
+        is_dpmpp = self.scheduler.variant == "dpmpp_2m"
         if self.do_classifier_free_guidance and not use_guided:
             cond7, masks7 = self.assemble_guidance_cond(
                 cond_real, masks_real, cond_unc, masks_unc)
@@ -479,7 +481,7 @@ class Convofusion:
             weg_loss_grad = jax.value_and_grad(weg_loss, argnums=0)
 
         def body(carry, inp):
-            lat, k = carry
+            lat, k, prev_d, prev_lambda = carry
             i, t, pt = inp
             k, k_step = jax.random.split(k)
 
@@ -543,7 +545,7 @@ class Convofusion:
                         jnp.float32(1.0),
                         interpret=jax.default_backend() != "tpu")
                     y = att_full if capture_attention == "all" else None
-                    return (lat, k), y
+                    return (lat, k, prev_d, prev_lambda), y
                 noise_pred = self.guidance_combine_branches(noise_pred_b)
             elif self.do_classifier_free_guidance:
                 lat_in = jnp.tile(lat, (NUM_BRANCHES, 1, 1))
@@ -557,15 +559,21 @@ class Convofusion:
             else:
                 noise_pred, att_full = self.denoiser.apply(
                     {"params": params["denoiser"]}, lat, t, cond7, masks7)
-            noise = jax.random.normal(k_step, lat.shape, lat.dtype)
-            lat, _ = self.scheduler.step(noise_pred, t, pt, lat, noise=noise)
+            if is_dpmpp:
+                lat, _, prev_d, prev_lambda = self.scheduler.dpmpp_2m_step(
+                    noise_pred, t, pt, lat, prev_d, prev_lambda, i == 0)
+            else:
+                noise = jax.random.normal(k_step, lat.shape, lat.dtype)
+                lat, _ = self.scheduler.step(noise_pred, t, pt, lat,
+                                             noise=noise)
 
             y = att_full if capture_attention == "all" else None
-            return (lat, k), y
+            return (lat, k, prev_d, prev_lambda), y
 
         steps = (jnp.arange(n_steps), ts, prev_ts)
-        (latents, _), att_seq = jax.lax.scan(
-            body, (latents, k_loop), steps)
+        carry0 = (latents, k_loop, jnp.zeros_like(latents),
+                  jnp.float32(0.0))
+        (latents, _, _, _), att_seq = jax.lax.scan(body, carry0, steps)
         return latents, att_seq
 
     def sample(

@@ -100,33 +100,58 @@ def _torch_state_dict(path: str) -> Dict[str, np.ndarray]:
             for k, v in sd.items() if hasattr(v, "detach")}
 
 
-def load_torch_vae(path: str, d_model: int = 128, num_layers: int = 5
-                   ) -> Dict:
+def _infer_skip_layers(sd: Dict, prefix: str) -> int:
+    """SkipTransformer num_layers from the highest input_blocks index."""
+    idx = [-1]
+    for k in sd:
+        m = re.match(rf"{re.escape(prefix)}\.input_blocks\.(\d+)\.", k)
+        if m:
+            idx.append(int(m.group(1)))
+    return 2 * (max(idx) + 1) + 1
+
+
+def load_torch_vae(path: str, d_model: Optional[int] = None,
+                   num_layers: Optional[int] = None) -> Dict:
     """Reference stage-1 checkpoint -> our VAE param tree.
 
     Handles both bare-VAE state dicts and full-model ones with a ``vae.``
-    prefix (train.py:148-152 strips it the same way)."""
+    prefix (train.py:148-152 strips it the same way).  Architecture dims
+    are inferred from the state dict when not given."""
     from convofusion_tpu.compat import torch_loader as tl
 
     sd = _torch_state_dict(path)
-    if any(k.startswith("vae.") for k in sd):
-        prefix = "vae"
-    else:
-        prefix = ""
+    prefix = "vae" if any(k.startswith("vae.") for k in sd) else ""
+    p = (prefix + ".") if prefix else ""
+    if d_model is None:
+        d_model = sd[f"{p}body_skel_embedding.weight"].shape[0]
+    if num_layers is None:
+        num_layers = _infer_skip_layers(sd, f"{p}body_encoder")
     return tl.vae_params(sd, d_model, num_layers, prefix=prefix)
 
 
 def load_torch_full_model(path: str, current_params: Dict,
-                          vae_layers: int = 5, vae_dim: int = 128,
-                          denoiser_layers: int = 9,
-                          denoiser_dim: int = 512) -> Dict:
+                          vae_layers: Optional[int] = None,
+                          vae_dim: Optional[int] = None,
+                          denoiser_layers: Optional[int] = None,
+                          denoiser_dim: Optional[int] = None) -> Dict:
     """Released full reference checkpoint -> our param tree (vae +
-    denoiser + audio encoder + fuser + t5 projection)."""
+    denoiser + audio encoder + fuser + t5 projection).  Architecture dims
+    are inferred from the state dict when not given."""
     from convofusion_tpu.compat import torch_loader as tl
     from convofusion_tpu.models.t5 import t5_params_from_torch
 
     sd = _torch_state_dict(path)
     params = dict(current_params)
+    if vae_dim is None:
+        vae_dim = sd["vae.body_skel_embedding.weight"].shape[0]
+    if vae_layers is None:
+        vae_layers = _infer_skip_layers(sd, "vae.body_encoder")
+    if denoiser_dim is None:
+        denoiser_dim = sd["denoiser.latent_embd.weight"].shape[0]
+    if denoiser_layers is None:
+        denoiser_layers = 1 + max(
+            int(m.group(1)) for k in sd
+            if (m := re.match(r"denoiser\.decoder\.layers\.(\d+)\.", k)))
     params["vae"] = tl.vae_params(sd, vae_dim, vae_layers, prefix="vae")
     params["denoiser"] = tl.denoiser_params(
         sd, denoiser_dim, denoiser_layers, prefix="denoiser")

@@ -20,6 +20,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite is compile-dominated (samplers,
+# WEG while_loops); repeat runs reuse executables
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)

@@ -154,3 +154,16 @@ def test_vae_diffusion_joint_stage(diff_model):
     vae_g = jax.tree_util.tree_reduce(
         lambda a, x: a + float(jnp.sum(jnp.abs(x))), grads["vae"], 0.0)
     assert vae_g > 0
+
+
+def test_dpmpp_sampling():
+    cfg = tiny_config("diffusion")
+    cfg.model.scheduler["variant"] = "dpmpp_2m"
+    cfg.model.scheduler["num_inference_timesteps"] = 8
+    model = Convofusion(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    raw = synthetic_raw_batch(7, B)
+    batch, _, _ = prepare_arrays(model, raw)
+    motion, _, _ = model.sample(params, batch, jax.random.PRNGKey(8))
+    assert motion.shape == (B, 128, 189)
+    assert np.isfinite(np.asarray(motion)).all()

@@ -101,3 +101,29 @@ def test_step_is_jittable_scan_body():
     out, _ = jax.lax.scan(body, jnp.ones((2, 4)), (ts, prev_ts, noises))
     assert out.shape == (2, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dpmpp_2m_oracle_recovers_x0():
+    """20-step DPM-Solver++ 2M with an oracle epsilon model must
+    reconstruct x0 at least as well as 20-step DDIM."""
+    s = DiffusionScheduler(variant="dpmpp_2m", clip_sample=True)
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray(rng.uniform(-0.8, 0.8, size=(2, 6)).astype(np.float32))
+    eps0 = jnp.asarray(rng.normal(size=(2, 6)).astype(np.float32))
+    acp = s.alphas_cumprod
+
+    def run(n):
+        ts, pts = s.timesteps(n), s.prev_timesteps(n)
+        sample = s.add_noise(x0, eps0, jnp.full((2,), int(ts[0])))
+        prev_d = jnp.zeros_like(sample)
+        prev_lam = jnp.float32(0.0)
+        for i, (t, pt) in enumerate(zip(ts, pts)):
+            cur_eps = (sample - np.sqrt(acp[t]) * x0) / np.sqrt(
+                1 - acp[t])
+            sample, _, prev_d, prev_lam = s.dpmpp_2m_step(
+                cur_eps, int(t), int(pt), sample, prev_d, prev_lam,
+                i == 0)
+        return np.abs(np.asarray(sample) - np.asarray(x0)).max()
+
+    err = run(20)
+    assert err < 5e-3
