@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,7 +89,7 @@ class FusedCrossStreams(nn.Module):
         # per-stream memory LayerNorm (eps matches torch 1e-5)
         mu = jnp.mean(mem_stack, axis=-1, keepdims=True)
         var = jnp.var(mem_stack, axis=-1, keepdims=True)
-        mem_n = (mem_stack - mu) * jax_rsqrt(var + 1e-5)
+        mem_n = (mem_stack - mu) * jax.lax.rsqrt(var + 1e-5)
         mem_n = mem_n * ln_scale[:, None, None, :] + \
             ln_bias[:, None, None, :]
 
@@ -113,11 +114,6 @@ class FusedCrossStreams(nn.Module):
             out.shape[1], out.shape[2], -1)
         return cat, weights
 
-
-def jax_rsqrt(x):
-    import jax.lax
-
-    return jax.lax.rsqrt(x)
 
 
 def fuse_layer_params(layer_params: Dict) -> Dict:
