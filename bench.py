@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="use the padded fused 5-stream layout instead of "
                          "the (faster) guidance-aware grouped path")
+    ap.add_argument("--mode", default="sample",
+                    choices=["sample", "train"],
+                    help="sample = generation clips/s (headline); "
+                         "train = diffusion-stage training clips/s")
     args = ap.parse_args()
 
     import jax
@@ -69,6 +73,45 @@ def main():
     raw = synthetic_raw_batch(0, args.batch)
     batch, _, _ = prepare_arrays(model, raw)
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
+
+    if args.mode == "train":
+        import optax
+
+        opt = optax.adamw(7e-5)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def train_step(p, o, k):
+            (loss, _), grads = jax.value_and_grad(
+                model.train_diffusion_loss, has_aux=True)(p, batch, k)
+            updates, o = opt.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, loss
+
+        t0 = time.time()
+        params, opt_state, loss = train_step(params, opt_state,
+                                             jax.random.PRNGKey(1))
+        jax.block_until_ready(loss)
+        compile_s = time.time() - t0
+        times = []
+        for i in range(max(args.iters, 10)):
+            t0 = time.time()
+            params, opt_state, loss = train_step(
+                params, opt_state, jax.random.PRNGKey(2 + i))
+            jax.block_until_ready(loss)
+            times.append(time.time() - t0)
+        best = min(times)
+        clips_per_sec = args.batch / best
+        result = {
+            "metric": "train_clips_per_sec",
+            "value": round(clips_per_sec, 2),
+            "unit": "clips/s/chip",
+            "vs_baseline": round(clips_per_sec / 50.0, 3),
+        }
+        print(json.dumps(result))
+        print(f"# TRAIN batch={args.batch} dtype={args.dtype} "
+              f"compile={compile_s:.1f}s best={best * 1e3:.1f}ms "
+              f"loss={float(loss):.4f}", file=sys.stderr)
+        return
 
     sample = jax.jit(
         lambda p, b, k: model.sample(p, b, k)[0])
