@@ -35,6 +35,7 @@ from convofusion_tpu.models.condfuser import TextAudioMotionFuser
 from convofusion_tpu.models.tokenizer import (
     UNCOND_TEXT,
     WordHashTokenizer,
+    make_tokenizer,
 )
 from convofusion_tpu.ops.smoothing import laplace_filter_time
 
@@ -88,14 +89,27 @@ class Convofusion:
         except (KeyError, AttributeError):
             self.bones = None
 
-        vocab_size = 32128
+        vocab_size, modelpath = 32128, "t5-base"
         try:
             vocab_size = int(
                 cfg.model.text_encoder.params.get("vocab_size", 32128))
+            modelpath = str(
+                cfg.model.text_encoder.params.get("modelpath", "t5-base"))
         except (KeyError, AttributeError):
             pass
-        self.tokenizer = tokenizer or WordHashTokenizer(
-            vocab_size=vocab_size, max_length=self.text_pad_len)
+        if tokenizer is not None:
+            self.tokenizer = tokenizer
+        elif vocab_size != 32128:
+            # custom/tiny text-encoder vocab (tests): real t5 ids would fall
+            # outside the embedding table — keep the in-range hash tokenizer
+            self.tokenizer = WordHashTokenizer(
+                vocab_size=vocab_size, max_length=self.text_pad_len)
+        else:
+            # production: exact t5-base tokenization when assets exist
+            # (reference t5.py:24-28), hash fallback otherwise
+            self.tokenizer = make_tokenizer(
+                modelpath, max_length=self.text_pad_len,
+                vocab_size=vocab_size)
 
         if self.stage in ("diffusion", "vae_diffusion"):
             self.text_encoder = instantiate_from_config(cfg.model.text_encoder)

@@ -6,11 +6,19 @@ wrapping every text as ``<bos> {text} <eos>`` except the uncond token
 guidance (t5.py:104-109).
 
 This module provides:
+  * ``SentencePieceTokenizer`` — exact t5-base tokenization from a local
+    ``spiece.model`` (no network, no ``sentencepiece`` package needed): the
+    proto is parsed natively and converted to the same ``tokenizers``
+    pipeline transformers builds (see models/sentencepiece.py).  This is
+    the production tokenizer whenever checkpoint assets are on disk.
+  * ``HFTokenizer`` — thin adapter over a locally cached HF tokenizer.
   * ``WordHashTokenizer`` — a deterministic, dependency-free word-level
-    tokenizer mapping words into the T5 vocab range via a stable hash; used
-    when no SentencePiece model is available (zero-egress environments).
-  * ``HFTokenizer`` — thin adapter over a locally cached HF tokenizer,
-    preserving the same output contract.
+    tokenizer mapping words into the T5 vocab range via a stable hash; the
+    explicit *fallback* when no SentencePiece assets exist (zero-egress
+    environments).  Its ids do NOT match t5-base — released-checkpoint
+    text conditioning requires ``SentencePieceTokenizer``/``HFTokenizer``.
+  * ``make_tokenizer`` — resolution order: spiece.model next to the model
+    path -> cached HF tokenizer -> WordHashTokenizer (with a warning).
 
 Both return fixed-length ``(input_ids, attention_mask, word_ids)`` so the
 downstream jit'd encoders see static shapes (SURVEY.md §7 design stance).
@@ -97,14 +105,18 @@ class WordHashTokenizer:
         return [t if t == UNCOND_TEXT else f"<bos> {t} <eos>" for t in texts]
 
 
-class HFTokenizer:
-    """Adapter over a locally available HF tokenizer (same contract)."""
+class _FastTokenizerAdapter:
+    """Shared contract over any HF-fast tokenizer object.
 
-    def __init__(self, modelpath: str, max_length: int = 200):
-        from transformers import AutoTokenizer
+    Applies the reference's runtime special-token additions
+    (t5.py:30: ``<eos>``/``<bos>``/``<pad>``/``<unk>``; for t5-base the
+    latter two already exist, so ``<eos>`` lands at id 32100 and ``<bos>``
+    at 32101 — inside the model's 32128-row embedding) and its
+    ``<bos> {text} <eos>`` wrapping (t5.py:93).
+    """
 
-        self.tok = AutoTokenizer.from_pretrained(
-            modelpath, model_max_length=max_length, use_fast=True)
+    def __init__(self, tok, max_length: int = 200):
+        self.tok = tok
         self.tok.add_special_tokens(
             {"eos_token": "<eos>", "bos_token": "<bos>",
              "pad_token": "<pad>", "unk_token": "<unk>"})
@@ -127,6 +139,92 @@ class HFTokenizer:
 
     def wrapped_texts(self, texts: Sequence[str]) -> List[str]:
         return [t if t == UNCOND_TEXT else f"<bos> {t} <eos>" for t in texts]
+
+
+class HFTokenizer(_FastTokenizerAdapter):
+    """Adapter over a locally cached HF tokenizer (same contract)."""
+
+    def __init__(self, modelpath: str, max_length: int = 200):
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(
+            modelpath, model_max_length=max_length, use_fast=True,
+            local_files_only=True)
+        super().__init__(tok, max_length)
+
+
+class SentencePieceTokenizer(_FastTokenizerAdapter):
+    """Exact t5-base tokenization from a local ``spiece.model``.
+
+    Parses the sentencepiece ModelProto natively and rebuilds the
+    ``tokenizers`` pipeline that transformers' T5Converter would produce —
+    ids, subword token->word maps and the trailing ``</s>`` all match
+    ``AutoTokenizer.from_pretrained('t5-base')``
+    (reference t5.py:28,104-109).
+    """
+
+    def __init__(self, spiece_path: str, max_length: int = 200,
+                 extra_ids: int = 100):
+        from convofusion_tpu.models.sentencepiece import (
+            convert_t5_fast,
+            load_spiece,
+        )
+
+        self.spiece_path = spiece_path
+        sp = load_spiece(spiece_path)
+        tok = convert_t5_fast(sp, extra_ids=extra_ids,
+                              model_max_length=max_length)
+        super().__init__(tok, max_length)
+
+
+def find_spiece(modelpath: str) -> Optional[str]:
+    """Locate a ``spiece.model`` for ``modelpath`` (file, dir, or HF cache
+    layout ``models--t5-base/snapshots/*/spiece.model``)."""
+    import glob
+    import os
+
+    if os.path.isfile(modelpath) and modelpath.endswith(".model"):
+        return modelpath
+    candidates = []
+    if os.path.isdir(modelpath):
+        candidates.append(os.path.join(modelpath, "spiece.model"))
+    cache = os.environ.get(
+        "HF_HOME", os.path.expanduser("~/.cache/huggingface"))
+    slug = "models--" + str(modelpath).replace("/", "--")
+    candidates += glob.glob(
+        os.path.join(cache, "hub", slug, "snapshots", "*", "spiece.model"))
+    for c in candidates:
+        if os.path.isfile(c):
+            return c
+    return None
+
+
+def make_tokenizer(modelpath: str = "t5-base", max_length: int = 200,
+                   vocab_size: int = 32128):
+    """Best available tokenizer for ``modelpath``.
+
+    Priority: native spiece.model -> cached HF tokenizer ->
+    WordHashTokenizer (explicit fallback, warns: ids are NOT t5-base, so
+    released-checkpoint text conditioning will not be faithful).
+    """
+    import warnings
+
+    spiece = find_spiece(modelpath)
+    if spiece is not None:
+        try:
+            return SentencePieceTokenizer(spiece, max_length=max_length)
+        except Exception as e:  # corrupted asset: fall through
+            warnings.warn(f"failed to load {spiece}: {e}")
+    try:
+        return HFTokenizer(modelpath, max_length=max_length)
+    except Exception:
+        pass
+    warnings.warn(
+        f"no t5 tokenizer assets found for {modelpath!r}; falling back to "
+        "WordHashTokenizer — token ids will NOT match t5-base, so text "
+        "conditioning under released checkpoints is not faithful. Place "
+        "spiece.model next to the checkpoint or set model.t5_path.")
+    return WordHashTokenizer(vocab_size=vocab_size, max_length=max_length)
 
 
 def focus_word_indices(
