@@ -106,6 +106,11 @@ def diffusion_losses(
     latent_gt=None,
     latent_weights=None,
     lambda_latent: float = 0.0,
+    noise_pred_prior=None,
+    noise_prior=None,
+    lambda_prior: float = 0.0,
+    att_mats: Optional[Dict[str, jnp.ndarray]] = None,
+    lambda_guided_attention: float = 0.0,
 ) -> Dict[str, jnp.ndarray]:
     if predict_epsilon:
         inst = jnp.mean((noise_pred - noise) ** 2)
@@ -115,6 +120,21 @@ def diffusion_losses(
         x_loss = jnp.mean((noise_pred - noise) ** 2)
         out = {"x_loss": x_loss}
         total = x_loss
+
+    if lambda_prior != 0.0 and noise_pred_prior is not None:
+        # MSE on the prior half of the batch-chunked predictions
+        # (diffvae.py:86-88,152-156 with convofusion.py:590-593's chunking;
+        # the reference wires `dist_m1` here, which is never set —
+        # convofusion.py:814 comments it out — so we follow the working
+        # MLD-lineage semantics: MSE(noise_pred_prior, noise_prior))
+        prior = jnp.mean((noise_pred_prior - noise_prior) ** 2)
+        out["prior_loss"] = prior
+        total = total + lambda_prior * prior
+
+    if lambda_guided_attention != 0.0 and att_mats is not None:
+        ga = guided_attention_loss(att_mats)
+        out["guidedattention_loss"] = ga
+        total = total + lambda_guided_attention * ga
 
     if lambda_latent != 0.0 and pred_x0 is not None:
         lat = smooth_l1(pred_x0, latent_gt)

@@ -366,18 +366,39 @@ class Convofusion:
             deterministic=False, rngs=rngs)
 
         lambda_latent = float(self.cfg.LOSS.LAMBDA_LATENT)
+        lambda_prior = float(self.cfg.LOSS.get("LAMBDA_PRIOR", 0.0))
+        lambda_ga = float(
+            self.cfg.LOSS.get("LAMBDA_GUIDED_ATTENTION", 0.0))
         target = noise if self.predict_epsilon else z
+
+        # prior loss: batch-chunk predictions (convofusion.py:590-593,
+        # diffvae.py:152-156) — epsilon-prediction only, like the reference
+        np_main, np_prior, n_prior = noise_pred, None, None
+        tgt_main = target
+        if lambda_prior != 0.0:
+            if not self.predict_epsilon:
+                raise ValueError(
+                    "LAMBDA_PRIOR requires PREDICT_EPSILON (the reference's "
+                    "x-prediction path never chunks the target)")
+            np_main, np_prior = jnp.split(noise_pred, 2, axis=0)
+            tgt_main, n_prior = jnp.split(target, 2, axis=0)
+
+        kwargs = dict(
+            noise_pred_prior=np_prior, noise_prior=n_prior,
+            lambda_prior=lambda_prior,
+            att_mats=att if lambda_ga != 0.0 else None,
+            lambda_guided_attention=lambda_ga)
         if lambda_latent != 0.0:
             pred_x0 = jax.vmap(
                 lambda mo, t, s: self.scheduler.pred_original_sample(
                     mo, t, s))(noise_pred, timesteps, noisy)
             weights = jnp.asarray(self.scheduler.betas)[timesteps]
             losses = diffusion_losses(
-                noise_pred, target, self.predict_epsilon, pred_x0, z,
-                weights, lambda_latent)
+                np_main, tgt_main, self.predict_epsilon, pred_x0, z,
+                weights, lambda_latent, **kwargs)
         else:
-            losses = diffusion_losses(noise_pred, target,
-                                      self.predict_epsilon)
+            losses = diffusion_losses(np_main, tgt_main,
+                                      self.predict_epsilon, **kwargs)
         return losses["total"], losses
 
     # ------------------------------------------------------------- sampling
