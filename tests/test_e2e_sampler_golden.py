@@ -1,0 +1,394 @@
+"""End-to-end sampler golden: JAX ``diffusion_reverse`` vs the torch
+reference's ``_diffusion_reverse`` executed verbatim.
+
+The oracle is the REAL reference method
+(convofusion/models/modeltype/convofusion.py:391-549) run unbound on a
+minimal host object carrying exactly the attributes it reads, with:
+  * the real reference torch ``Denoiser`` (seeded weights, transplanted
+    into the JAX model via compat/torch_loader),
+  * a torch scheduler standing in for the absent ``diffusers`` package,
+    implementing the documented DDPM (fixed_small) / DDIM(eta=0) update
+    rules independently of our JAX scheduler,
+  * ``torch.randn`` patched to replay the exact noise draws the JAX scan
+    makes (initial latents + per-step DDPM variance noise).
+
+This pins the full composed chain — 7-way guidance branch assembly and
+combination (:527-541), per-step denoiser invocation, scheduler update,
+attention capture (:517-519), the final token->(body,hands) unstacking and
+VAE decode (:1025-1032) — to the torch reference numerically, the
+mechanism-level evidence for BASELINE.md's fidelity target.
+"""
+import sys
+import types
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from convofusion_tpu.compat import torch_loader as tl
+from convofusion_tpu.config.testing import tiny_config
+from convofusion_tpu.models.convofusion import Convofusion
+from convofusion_tpu.ops.transformer import COND_STREAMS
+
+B, NSTEPS, LAT_D, D = 2, 4, 32, 64
+T_SPK, T_AUD, T_TXT, T_APB = 9, 12, 7, 8
+ABL = SimpleNamespace(
+    MLP_DIST=False, PE_TYPE="convofusion", SKIP_CONNECT=False,
+    VAE_TYPE="convofusion", DIFF_PE_TYPE="convofusion", CAUSAL_ATTN=False)
+
+# reference drop sequence (convofusion.py:915-935): which branches keep
+# each stream real — [all_drop, text, audio, spk, apb, lsnid, full]
+REF_KEEP = {
+    "spkemb": (3, 6), "alsn": (2, 6), "tlsn": (1, 6),
+    "apb": (4, 6), "lsnemb": (5, 6),
+}
+
+
+def _install_ref_shims():
+    """Stand-ins for packages the reference imports but this image lacks.
+
+    Only import-time surface: none of these are exercised by
+    ``_diffusion_reverse`` itself.
+    """
+    if "pytorch_lightning" not in sys.modules:
+        pl = types.ModuleType("pytorch_lightning")
+        pl.LightningModule = torch.nn.Module
+        sys.modules["pytorch_lightning"] = pl
+    if "torchmetrics" not in sys.modules:
+        tm = types.ModuleType("torchmetrics")
+        tm.Metric = object
+        tm.MetricCollection = dict
+        sys.modules["torchmetrics"] = tm
+    if "soundfile" not in sys.modules:
+        sys.modules["soundfile"] = types.ModuleType("soundfile")
+    if "kornia" not in sys.modules:
+        kornia = types.ModuleType("kornia")
+        filters = types.ModuleType("kornia.filters")
+        kernels = types.ModuleType("kornia.filters.kernels")
+
+        def laplacian_1d(window_size):
+            k = torch.ones(window_size)
+            k[window_size // 2] = 1.0 - window_size
+            return k
+
+        kernels.laplacian_1d = laplacian_1d
+        filters.kernels = kernels
+        kornia.filters = filters
+        sys.modules["kornia"] = kornia
+        sys.modules["kornia.filters"] = filters
+        sys.modules["kornia.filters.kernels"] = kernels
+
+
+class TorchSchedulerShim:
+    """diffusers-API scheduler (set_timesteps/timesteps/init_noise_sigma/
+    scale_model_input/step) implementing the documented DDPM fixed_small and
+    DDIM update rules in torch, with injected variance noise."""
+
+    def __init__(self, variant, num_train=1000, beta_start=0.00085,
+                 beta_end=0.012, clip=True, noise_queue=None):
+        self.variant = variant
+        self.num_train = num_train
+        betas = torch.linspace(beta_start ** 0.5, beta_end ** 0.5,
+                               num_train, dtype=torch.float64) ** 2
+        self.acp = torch.cumprod(1.0 - betas, dim=0).float()
+        self.clip = clip
+        self.init_noise_sigma = 1.0
+        self.noise_queue = noise_queue or []
+
+    def set_timesteps(self, n):
+        self.n = n
+        ratio = self.num_train // n
+        self.timesteps = torch.from_numpy(
+            (np.arange(n) * ratio).round()[::-1].astype(np.int64).copy())
+
+    def scale_model_input(self, sample, t):
+        return sample
+
+    def step(self, model_output, t, sample, eta=0.0):
+        ratio = self.num_train // self.n
+        t = int(t)
+        prev_t = t - ratio
+        acp_t = self.acp[t]
+        acp_prev = self.acp[prev_t] if prev_t >= 0 else torch.tensor(1.0)
+        bp_t, bp_prev = 1.0 - acp_t, 1.0 - acp_prev
+
+        x0 = (sample - bp_t.sqrt() * model_output) / acp_t.sqrt()
+        if self.clip:
+            x0 = x0.clamp(-1.0, 1.0)
+
+        if self.variant == "ddpm":
+            cur_alpha = acp_t / acp_prev
+            cur_beta = 1.0 - cur_alpha
+            mean = (acp_prev.sqrt() * cur_beta / bp_t) * x0 + \
+                (cur_alpha.sqrt() * bp_prev / bp_t) * sample
+            if t > 0:
+                var = torch.clamp(bp_prev / bp_t * cur_beta, min=1e-20)
+                mean = mean + var.sqrt() * self.noise_queue.pop(0)
+            return SimpleNamespace(prev_sample=mean)
+
+        if self.variant == "ddim":
+            assert eta == 0.0
+            # diffusers re-derives epsilon from the clipped x0
+            eps = (sample - acp_t.sqrt() * x0) / bp_t.sqrt()
+            prev = acp_prev.sqrt() * x0 + bp_prev.sqrt() * eps
+            return SimpleNamespace(prev_sample=prev)
+
+        raise ValueError(self.variant)
+
+
+def _jax_noise_sequence(key, n_steps, shape):
+    """Replay diffusion_reverse's key-split schedule (models/convofusion.py:
+    484-487, 518-521, 601)."""
+    k_init, k_loop = jax.random.split(key)
+    init = np.asarray(jax.random.normal(k_init, shape))
+    k, per_step = k_loop, []
+    for _ in range(n_steps):
+        k, k_step = jax.random.split(k)
+        per_step.append(torch.from_numpy(
+            np.asarray(jax.random.normal(k_step, shape))))
+    return init, per_step
+
+
+@pytest.fixture(scope="module")
+def twins(reference_path):
+    """Seeded torch denoiser+vae and the JAX model with transplanted weights."""
+    _install_ref_shims()
+    from convofusion.models.architectures.denoiser import (
+        Denoiser as TorchDenoiser,
+    )
+    from convofusion.models.architectures.vae import (
+        ConvoFusionVae as TorchVae,
+    )
+
+    torch.manual_seed(42)
+    den_t = TorchDenoiser(
+        ablation=ABL, nfeats=189, condition="text+audio",
+        latent_dim=[1, LAT_D], ff_size=64, num_layers=3, num_heads=4,
+        dropout=0.0, normalize_before=True, activation="gelu",
+        flip_sin_to_cos=True, return_intermediate_dec=False,
+        position_embedding="sine", arch="trans_dec", freq_shift=0,
+        text_encoded_dim=D, audio_encoded_dim=D)
+    den_t.eval()
+    vae_t = TorchVae(
+        ablation=ABL, nfeats=189, latent_dim=[1, LAT_D], ff_size=64,
+        num_layers=3, num_heads=2, dropout=0.0, arch="encoder_decoder",
+        normalize_before=True, activation="gelu",
+        position_embedding="sine")
+    vae_t.eval()
+
+    cfg = tiny_config("diffusion")
+    model = Convofusion(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params = dict(params)
+    params["denoiser"] = tl.denoiser_params(
+        tl.to_numpy_state_dict(den_t), D, 3)
+    params["vae"] = tl.vae_params(tl.to_numpy_state_dict(vae_t), LAT_D, 3)
+    return den_t, vae_t, cfg, model, params
+
+
+def _rand_conditions(seed):
+    rng = np.random.default_rng(seed)
+    shapes = {"spkemb": (B, T_SPK, D), "alsn": (B, T_AUD, D),
+              "tlsn": (B, T_TXT, D), "apb": (B, T_APB, D),
+              "lsnemb": (B, 1, D)}
+    cond_real = {k: rng.standard_normal(v).astype(np.float32) * 0.5
+                 for k, v in shapes.items()}
+    cond_unc = {k: rng.standard_normal(v).astype(np.float32) * 0.5
+                for k, v in shapes.items()}
+    pad_spk = np.zeros((B, T_SPK), bool)
+    pad_spk[0, 6:] = True
+    pad_txt = np.zeros((B, T_TXT), bool)
+    pad_txt[1, 5:] = True
+    pad_spk_u = np.zeros((B, T_SPK), bool)
+    pad_spk_u[:, 3:] = True
+    pad_txt_u = np.zeros((B, T_TXT), bool)
+    pad_txt_u[:, 3:] = True
+    masks_real = {"spkemb": pad_spk, "tlsn": pad_txt}
+    masks_unc = {"spkemb": pad_spk_u, "tlsn": pad_txt_u}
+    return cond_real, cond_unc, masks_real, masks_unc
+
+
+def _ref_host(refmod, cfg, denoiser, scheduler, guidance_scale):
+    host = refmod.Convofusion.__new__(refmod.Convofusion)
+    torch.nn.Module.__init__(host)   # skip the heavy reference __init__
+    host.cfg = cfg
+    host.weg_parameters = cfg.model.weg_parameters
+    host.do_classifier_free_guidance = guidance_scale > 1.0
+    host.clf_guidance_drops = 6
+    host.vae_type = "convofusion"
+    host.latent_dim = [1, LAT_D]
+    host.guidance_scale = guidance_scale
+    host.scheduler = scheduler
+    host.denoiser = denoiser
+    return host
+
+
+def _torch_reverse(refmod, cfg, den_t, variant, cond_real, cond_unc,
+                   masks_real, masks_unc, init_noise, step_noises,
+                   guidance, monkeypatch):
+    """Run the REAL reference _diffusion_reverse with injected noise."""
+    gs = float(cfg.model.guidance_scale) if guidance else 1.0
+    shim = TorchSchedulerShim(variant, noise_queue=list(step_noises))
+    host = _ref_host(refmod, cfg, den_t, shim, gs)
+
+    if guidance:
+        # assemble the 7-branch streams exactly as convofusion.py:915-975
+        enc = [torch.from_numpy(np.concatenate(
+            [cond_real[s] if g in REF_KEEP[s] else cond_unc[s]
+             for g in range(7)], axis=0)) for s in COND_STREAMS]
+        cond_masks = {
+            s: torch.from_numpy(np.concatenate(
+                [masks_real[s] if g in REF_KEEP[s] else masks_unc[s]
+                 for g in range(7)], axis=0))
+            for s in ("spkemb", "tlsn")}
+    else:
+        enc = [torch.from_numpy(cond_real[s]) for s in COND_STREAMS]
+        cond_masks = {s: torch.from_numpy(masks_real[s])
+                      for s in ("spkemb", "tlsn")}
+
+    calls = []
+
+    def fake_randn(*shape, **kw):
+        calls.append(shape)
+        return torch.from_numpy(init_noise)
+
+    monkeypatch.setattr(torch, "randn", fake_randn)
+    try:
+        with torch.no_grad():
+            z, att = host._diffusion_reverse(
+                enc, lengths=[128] * B, cond_masks=cond_masks,
+                focus_indices=[])
+    finally:
+        monkeypatch.undo()
+    assert len(calls) == 1 and calls[0][0] == (B, 16, LAT_D)
+    return z, att
+
+
+@pytest.fixture(scope="module")
+def refmod(reference_path):
+    _install_ref_shims()
+    import convofusion.models.modeltype.convofusion as refmod
+    return refmod
+
+
+# NB: guidance-off cannot be oracled — the reference's _diffusion_reverse
+# hard-crashes without CFG (UnboundLocalError on guidance_bs_mulitplier,
+# convofusion.py:519; every reference config uses guidance_scale > 1).
+# Our guidance-off path is covered for shape/finiteness in the smoke tests.
+@pytest.mark.parametrize("variant,pallas,guidance", [
+    ("ddpm", False, True),
+    ("ddpm", True, True),
+    ("ddim", True, True),
+])
+def test_sampler_latents_match_torch(twins, refmod, monkeypatch,
+                                     variant, pallas, guidance):
+    den_t, vae_t, _, _, params = twins
+    cfg = tiny_config("diffusion")
+    cfg.model.scheduler["variant"] = variant
+    cfg.model.scheduler["num_inference_timesteps"] = NSTEPS
+    cfg.TPU.PALLAS_STEP = pallas
+    if not guidance:
+        cfg.model.guidance_scale = 1.0
+    model = Convofusion(cfg)
+
+    cond_real, cond_unc, masks_real, masks_unc = _rand_conditions(7)
+    key = jax.random.PRNGKey(3)
+    latents, _ = model.diffusion_reverse(
+        params,
+        {k: jnp.asarray(v) for k, v in cond_real.items()},
+        {k: jnp.asarray(v) for k, v in masks_real.items()},
+        {k: jnp.asarray(v) for k, v in cond_unc.items()},
+        {k: jnp.asarray(v) for k, v in masks_unc.items()},
+        key, B, num_inference_steps=NSTEPS)
+    latents = np.asarray(latents)
+
+    init_noise, step_noises = _jax_noise_sequence(
+        key, NSTEPS, (B, 16, LAT_D))
+    z_t, _ = _torch_reverse(
+        refmod, cfg, den_t, variant, cond_real, cond_unc, masks_real,
+        masks_unc, init_noise, step_noises, guidance, monkeypatch)
+
+    # reference returns latents.permute(1, 0, 2) -> (16, B, D)
+    np.testing.assert_allclose(
+        latents, z_t.numpy().transpose(1, 0, 2), rtol=5e-3, atol=5e-3)
+
+
+def test_sampler_attention_capture_matches_torch(twins, refmod, monkeypatch):
+    """Per-step full-cond attention maps == reference chunk(-1) capture
+    (convofusion.py:517-519,548)."""
+    den_t, _, _, _, params = twins
+    cfg = tiny_config("diffusion")
+    cfg.model.scheduler["num_inference_timesteps"] = NSTEPS
+    cfg.TPU.PALLAS_STEP = False
+    model = Convofusion(cfg)
+
+    cond_real, cond_unc, masks_real, masks_unc = _rand_conditions(11)
+    key = jax.random.PRNGKey(5)
+    latents, att_seq = model.diffusion_reverse(
+        params,
+        {k: jnp.asarray(v) for k, v in cond_real.items()},
+        {k: jnp.asarray(v) for k, v in masks_real.items()},
+        {k: jnp.asarray(v) for k, v in cond_unc.items()},
+        {k: jnp.asarray(v) for k, v in masks_unc.items()},
+        key, B, num_inference_steps=NSTEPS, capture_attention="all")
+
+    init_noise, step_noises = _jax_noise_sequence(
+        key, NSTEPS, (B, 16, LAT_D))
+    _, att_t = _torch_reverse(
+        refmod, cfg, den_t, "ddpm", cond_real, cond_unc, masks_real,
+        masks_unc, init_noise, step_noises, True, monkeypatch)
+
+    ts = model.scheduler.timesteps(NSTEPS)
+    for i, t in enumerate(ts):
+        ref_maps = att_t[int(t)]                 # list in COND_STREAMS order
+        for j, s in enumerate(COND_STREAMS):
+            np.testing.assert_allclose(
+                np.asarray(att_seq[s][i]), ref_maps[j].numpy(),
+                rtol=5e-3, atol=5e-3,
+                err_msg=f"step {i} (t={t}) stream {s}")
+
+
+def test_sampler_decoded_motion_matches_torch(twins, refmod, monkeypatch):
+    """Latent unstack + VAE decode == reference reshape/permute + decode
+    (convofusion.py:1025-1032)."""
+    den_t, vae_t, _, model_base, params = twins
+    cfg = tiny_config("diffusion")
+    cfg.model.scheduler["num_inference_timesteps"] = NSTEPS
+    cfg.TPU.PALLAS_STEP = True
+    model = Convofusion(cfg)
+
+    cond_real, cond_unc, masks_real, masks_unc = _rand_conditions(13)
+    key = jax.random.PRNGKey(9)
+    latents, _ = model.diffusion_reverse(
+        params,
+        {k: jnp.asarray(v) for k, v in cond_real.items()},
+        {k: jnp.asarray(v) for k, v in masks_real.items()},
+        {k: jnp.asarray(v) for k, v in cond_unc.items()},
+        {k: jnp.asarray(v) for k, v in masks_unc.items()},
+        key, B, num_inference_steps=NSTEPS)
+
+    # ours: (B, 16, D) -> (2, B, 8, D) (models/convofusion.py:668-671)
+    z = latents.reshape(B, 8, 2, LAT_D)
+    z = jnp.stack([z[:, :, 0], z[:, :, 1]], axis=0)
+    motion_j = np.asarray(model.vae_decode(params, z))
+
+    init_noise, step_noises = _jax_noise_sequence(
+        key, NSTEPS, (B, 16, LAT_D))
+    z_t, _ = _torch_reverse(
+        refmod, cfg, den_t, "ddpm", cond_real, cond_unc, masks_real,
+        masks_unc, init_noise, step_noises, True, monkeypatch)
+    ntokens, bs, dim = z_t.shape
+    z_ref = z_t.reshape(ntokens // 2, 2, bs, dim).permute(1, 2, 0, 3)
+    with torch.no_grad():
+        motion_t = vae_t.decode(z_ref, [128] * B)
+
+    np.testing.assert_allclose(
+        np.asarray(latents), z_t.numpy().transpose(1, 0, 2),
+        rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(
+        motion_j, motion_t.numpy(), rtol=1e-2, atol=1e-2)
