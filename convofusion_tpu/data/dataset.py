@@ -396,7 +396,13 @@ class BEATAugReactionDataset:
                       f"seg_lsn{name_idx + 1}.txt"))
             seg_spk = _load_segments(
                 pjoin(self.dnd_dataset_path, set_path_name, "seg_spk.txt"))
-            other_mlsns = None
+            # reference dataset.py:704: remaining listeners zipped against
+            # the remaining motions of this entry (with the shipped
+            # one-listener-per-entry layout this is {}, never None)
+            motions = data["motions_lsn"]
+            other_mlsns = dict(zip(
+                lsns[:lsn_idx] + lsns[lsn_idx + 1:],
+                motions[:lsn_idx] + motions[lsn_idx + 1:]))
 
         lsn_id = self.speaker_names.index(lsn_name) + 1
 
@@ -405,6 +411,11 @@ class BEATAugReactionDataset:
             melspec_lsn = (-80.0 + 0.01 * np.random.rand(
                 *melspec_lsn.shape)).astype(np.float32)
             text_lsn = ""
+
+        # reference dataset.py:697-698
+        if np.any(np.isnan(data["motion_spk"])) or np.any(
+                np.isnan(motion_lsn)):
+            raise ValueError("nan in motion")
 
         combined_audio = sum(data["audios_lsn"]) + data["audio_spk"]
         return (
