@@ -38,7 +38,24 @@ def main():
                     choices=["sample", "train"],
                     help="sample = generation clips/s (headline); "
                          "train = diffusion-stage training clips/s")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard the batch over an N-device 'data' mesh "
+                         "(params replicated); 0 = single device. "
+                         "Reports per-chip throughput.")
+    ap.add_argument("--host-devices", type=int, default=0,
+                    help="with --platform cpu: number of virtual host "
+                         "devices to create (for mesh smoke runs)")
+    ap.add_argument("--mfu", action="store_true",
+                    help="also report FLOPs/clip and MFU from XLA "
+                         "cost_analysis (stderr)")
     args = ap.parse_args()
+
+    if args.host_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            flags +
+            f" --xla_force_host_platform_device_count={args.host_devices}"
+        ).strip()
 
     import jax
 
@@ -74,6 +91,24 @@ def main():
     batch, _, _ = prepare_arrays(model, raw)
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
 
+    n_chips = 1
+    if args.mesh:
+        # production data sharding: batch over 'data', params replicated,
+        # XLA inserts the collectives (tests/test_multidevice.py wiring)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from convofusion_tpu.parallel.mesh import create_mesh
+
+        n_chips = min(args.mesh, len(jax.devices()))
+        assert args.batch % n_chips == 0, "batch must divide the mesh"
+        mesh = create_mesh(n_data=n_chips, n_model=1,
+                           devices=jax.devices()[:n_chips])
+        data = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, data), batch)
+        params = jax.device_put(params, rep)
+
     if args.mode == "train":
         import optax
 
@@ -100,7 +135,7 @@ def main():
             jax.block_until_ready(loss)
             times.append(time.time() - t0)
         best = min(times)
-        clips_per_sec = args.batch / best
+        clips_per_sec = args.batch / best / n_chips
         result = {
             "metric": "train_clips_per_sec",
             "value": round(clips_per_sec, 2),
@@ -131,7 +166,7 @@ def main():
         times.append(time.time() - t0)
 
     best = min(times)
-    clips_per_sec = args.batch / best
+    clips_per_sec = args.batch / best / n_chips
     n_dev = jax.local_device_count()
     result = {
         "metric": f"clips_per_sec_{args.steps}step_ddim",
@@ -144,7 +179,46 @@ def main():
         f"# batch={args.batch} steps={args.steps} dtype={args.dtype} "
         f"compile={compile_s:.1f}s best={best * 1e3:.1f}ms "
         f"mean={sum(times) / len(times) * 1e3:.1f}ms devices={n_dev} "
-        f"platform={jax.devices()[0].platform}",
+        f"mesh={n_chips} platform={jax.devices()[0].platform}",
+        file=sys.stderr)
+
+    if args.mfu:
+        flops = _xla_flops(
+            sample, (params, batch, jax.random.PRNGKey(1)))
+        if flops:
+            report_mfu(flops, args.batch, best, n_chips,
+                       jax.devices()[0].platform, args.dtype)
+
+
+# bf16 peak matmul throughput per chip (jax-ml.github.io/scaling-book)
+PEAK_FLOPS = {"tpu v5 lite": 197e12, "tpu v5e": 197e12, "tpu v4": 275e12,
+              "tpu v6 lite": 918e12, "tpu v6e": 918e12}
+
+
+def _xla_flops(jitted, example_args):
+    """Total FLOPs of one call from XLA's cost analysis (None if the
+    backend doesn't report it)."""
+    try:
+        ca = jitted.lower(*example_args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def report_mfu(flops, batch, secs, n_chips, platform, dtype):
+    import jax
+
+    flops_per_clip = flops / batch
+    achieved = flops / secs / n_chips
+    kind = getattr(jax.devices()[0], "device_kind", platform).lower()
+    peak = next((v for k, v in PEAK_FLOPS.items() if k in kind), None)
+    mfu = f"{achieved / peak * 100:.1f}%" if peak else "n/a (unknown peak)"
+    print(
+        f"# flops/clip={flops_per_clip / 1e9:.2f} GF "
+        f"achieved={achieved / 1e12:.2f} TFLOP/s/chip mfu={mfu} "
+        f"device_kind={kind} dtype={dtype}",
         file=sys.stderr)
 
 
