@@ -183,11 +183,44 @@ def main():
         file=sys.stderr)
 
     if args.mfu:
-        flops = _xla_flops(
+        # XLA cost_analysis counts the lax.scan body ONCE, so the whole-jit
+        # number wildly undercounts a 50-step sampler.  Scan-aware total:
+        # whole-jit flops (fixed cost + 1 step) + (steps-1) x per-step
+        # flops from lowering one guided denoiser call.
+        whole = _xla_flops(
             sample, (params, batch, jax.random.PRNGKey(1)))
-        if flops:
-            report_mfu(flops, args.batch, best, n_chips,
-                       jax.devices()[0].platform, args.dtype)
+        step_flops = None
+        try:
+            cond_r, masks_r = model.encode_conditions(
+                params, batch["spk_ids"], batch["spk_tmask"],
+                batch["lsn_ids"], batch["lsn_tmask"], batch["melspec_lsn"],
+                batch["active_passive_lsn"], batch["lsn_id"])
+            from convofusion_tpu.models.convofusion import uncond_melspec
+            cond_u, masks_u = model.encode_conditions(
+                params, batch["uncond_ids"], batch["uncond_tmask"],
+                batch["uncond_ids"], batch["uncond_tmask"],
+                uncond_melspec(batch["melspec_lsn"].shape,
+                               batch["melspec_lsn"].dtype),
+                jnp.full_like(batch["active_passive_lsn"], 2),
+                jnp.zeros_like(batch["lsn_id"]))
+            lat = jnp.zeros((args.batch, 2 * model.n_chunks,
+                             model.latent_dim), jnp.float32)
+            one_step = jax.jit(lambda p, z, t: model.denoiser.apply(
+                {"params": p["denoiser"]}, z, t, cond_r, cond_u,
+                masks_r, masks_u, method=model.denoiser.guided)[0])
+            step_flops = _xla_flops(
+                one_step, (params, lat, jnp.int32(1)))
+        except Exception:
+            pass
+        if whole and step_flops:
+            total = whole + (args.steps - 1) * step_flops
+            report_mfu(total, args.batch, best, n_chips,
+                       jax.devices()[0].platform, args.dtype,
+                       note=f"scan-aware ({step_flops / 1e9:.0f} GF/step)")
+        elif whole:
+            report_mfu(whole, args.batch, best, n_chips,
+                       jax.devices()[0].platform, args.dtype,
+                       note="whole-jit only (scan body counted once)")
 
 
 # bf16 peak matmul throughput per chip (jax-ml.github.io/scaling-book)
@@ -207,7 +240,7 @@ def _xla_flops(jitted, example_args):
         return None
 
 
-def report_mfu(flops, batch, secs, n_chips, platform, dtype):
+def report_mfu(flops, batch, secs, n_chips, platform, dtype, note=""):
     import jax
 
     flops_per_clip = flops / batch
@@ -218,7 +251,7 @@ def report_mfu(flops, batch, secs, n_chips, platform, dtype):
     print(
         f"# flops/clip={flops_per_clip / 1e9:.2f} GF "
         f"achieved={achieved / 1e12:.2f} TFLOP/s/chip mfu={mfu} "
-        f"device_kind={kind} dtype={dtype}",
+        f"device_kind={kind} dtype={dtype} {note}",
         file=sys.stderr)
 
 
