@@ -28,6 +28,7 @@ def main(argv=None):
         save_checkpoint,
         transplant_vae,
     )
+    from convofusion_tpu.callback.progress import ProgressLogger
     from convofusion_tpu.train.trainer import Trainer
     from convofusion_tpu.utils.logger import create_logger
     from convofusion_tpu.utils.metrics_logger import MetricsLogger
@@ -78,6 +79,25 @@ def main(argv=None):
 
     step_fn = trainer.make_train_step()
     save_every = int(cfg.LOGGER.SACE_CHECKPOINT_EPOCH)
+    progress = ProgressLogger(logger)
+
+    def loss2logname(loss: str, split: str) -> str:
+        """Reference metric naming (losses/diffvae.py:223-229)."""
+        if loss == "total":
+            return f"{loss}/{split}"
+        loss_type, name = loss.split("_", 1)
+        return f"{loss_type}/{name}/{split}"
+
+    def aggregate(term_dicts, split: str):
+        """Mean every loss term over the epoch (base.py:45-67)."""
+        if not term_dicts:
+            return {}
+        keys = term_dicts[0].keys()
+        return {
+            loss2logname(k, split): float(
+                np.mean([float(d[k]) for d in term_dicts]))
+            for k in keys
+        }
 
     def prepare(batch):
         if cfg.TRAIN.STAGE == "vae":
@@ -93,36 +113,43 @@ def main(argv=None):
             **text_arrays,
         }
 
+    val_fn = None
     for epoch in range(start_epoch, int(cfg.TRAIN.END_EPOCH)):
         loader = datamodule.train_dataloader(seed=epoch)
-        losses = []
+        term_dicts = []
         t0 = time.time()
         for batch in loader:
             key, k = jax.random.split(key)
-            params, opt_state, loss, _ = step_fn(
+            params, opt_state, loss, terms = step_fn(
                 params, opt_state, trainer.shard_batch(prepare(batch)), k)
-            losses.append(loss)
-        mean_loss = float(np.mean([float(x) for x in losses])) \
-            if losses else float("nan")
+            term_dicts.append(terms)
+        epoch_metrics = aggregate(term_dicts, "train")
+        mean_loss = epoch_metrics.get("total/train", float("nan"))
         logger.info(
             f"epoch {epoch}: loss={mean_loss:.4f} "
-            f"({time.time() - t0:.1f}s, {len(losses)} steps)")
-        metrics.log({"total/train": mean_loss,
-                     "epoch_seconds": time.time() - t0}, step=epoch)
+            f"({time.time() - t0:.1f}s, {len(term_dicts)} steps)")
+        epoch_metrics["epoch_seconds"] = time.time() - t0
 
-        # validation pass (reference VAL_EVERY_STEPS cadence)
+        # validation pass (reference VAL_EVERY_STEPS cadence); every loss
+        # term is aggregated per split like the reference's Losses metric
+        # collection (base.py:45-67)
         val_every = int(cfg.LOGGER.get("VAL_EVERY_STEPS", 0) or 0)
         if val_every and (epoch + 1) % val_every == 0:
-            val_fn = jax.jit(trainer.loss_fn())
-            val_losses = []
+            if val_fn is None:
+                val_fn = jax.jit(trainer.loss_fn())
+            val_terms = []
             for vbatch in datamodule.val_dataloader():
                 key, k = jax.random.split(key)
-                vloss, _ = val_fn(params, prepare(vbatch), k)
-                val_losses.append(float(vloss))
-            if val_losses:
-                vmean = float(np.mean(val_losses))
-                logger.info(f"epoch {epoch}: val loss={vmean:.4f}")
-                metrics.log({"total/val": vmean}, step=epoch)
+                _, vterms = val_fn(params, prepare(vbatch), k)
+                val_terms.append(vterms)
+            val_metrics = aggregate(val_terms, "val")
+            if val_metrics:
+                logger.info(
+                    f"epoch {epoch}: val loss="
+                    f"{val_metrics.get('total/val', float('nan')):.4f}")
+                epoch_metrics.update(val_metrics)
+        metrics.log(epoch_metrics, step=epoch)
+        progress.on_epoch_end(epoch, epoch_metrics)
         if (epoch + 1) % save_every == 0 or \
                 epoch == int(cfg.TRAIN.END_EPOCH) - 1:
             path = save_checkpoint(ckpt_dir, epoch, params, opt_state)

@@ -84,6 +84,19 @@ def _write_cfg(root, beat, dnd, stage, name, extra=None):
     return path, assets_path
 
 
+def _read_metrics(exp_dir):
+    """Union of keys logged to the experiment's metrics JSONL."""
+    import glob as _glob
+    import json
+
+    keys = set()
+    for p in _glob.glob(os.path.join(exp_dir, "*.jsonl")):
+        with open(p) as f:
+            for line in f:
+                keys |= set(json.loads(line))
+    return keys
+
+
 def test_train_vae_then_diffusion_then_generate(workdir):
     root, beat, dnd = workdir
     from convofusion_tpu.cli.test import main as test_main
@@ -96,6 +109,18 @@ def test_train_vae_then_diffusion_then_generate(workdir):
                             "checkpoints", "epoch=0")
     assert os.path.isdir(vae_ckpt)
 
+    # per-term metrics in the reference's {type}/{name}/{split} naming
+    # (losses/diffvae.py:223-229, base.py:45-67)
+    import json
+
+    vae_metrics = _read_metrics(os.path.join(
+        root, "experiments", "convofusion", "vae_exp"))
+    # (bonelen/feature appears only when LAMBDA_BL != 0 and the dataset
+    # defines BONES, matching the reference's conditional loss registry)
+    for key in ("total/train", "recons/feature/train", "kl/motion/train",
+                "recons/laplace/train"):
+        assert key in vae_metrics, (key, sorted(vae_metrics))
+
     # stage 2 with VAE transplant
     cfg2, assets2 = _write_cfg(root, beat, dnd, "diffusion", "diff_exp",
                       {"TRAIN": {"PRETRAINED_VAE": vae_ckpt}})
@@ -103,6 +128,10 @@ def test_train_vae_then_diffusion_then_generate(workdir):
     diff_ckpt = os.path.join(root, "experiments", "convofusion",
                              "diff_exp", "checkpoints", "epoch=0")
     assert os.path.isdir(diff_ckpt)
+    diff_metrics = _read_metrics(os.path.join(
+        root, "experiments", "convofusion", "diff_exp"))
+    assert "inst/loss/train" in diff_metrics, sorted(diff_metrics)
+    assert "total/train" in diff_metrics
 
     # generation with the trained checkpoint, WEG random
     cfg3, assets3 = _write_cfg(root, beat, dnd, "diffusion", "gen_exp", {
