@@ -1,7 +1,23 @@
 """Legacy ablation paths from the inventory: all_encoder VAE, MLP_DIST,
 trans_enc denoiser (text / action / text+audio), EmbedAction, spk-ta
-controller."""
+controller.
+
+Numeric goldens vs torch are included for every legacy path the
+reference can actually execute (mlp_dist encode, EmbedAction).  The rest
+is DEAD CODE in the shipped reference — proven here by running it:
+  * arch='trans_enc' crashes for EVERY condition: 'text'/'action' hit a
+    NameError on spk_emb (denoiser.py:288 uses text+audio stream vars
+    unconditionally) and 'text+audio' hits aspk/tspk (commented out at
+    :246-249, used at :288);
+  * arch='all_encoder' decode crashes on the renamed-away `zb`
+    (vae.py:300).
+Our implementations of those paths are therefore covered by
+shape/finiteness tests only, as the strongest oracle available.
+"""
+from types import SimpleNamespace
+
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -11,6 +27,12 @@ from convofusion_tpu.models.vae import ConvoFusionVae
 from convofusion_tpu.ops.transformer import COND_STREAMS
 
 D = 32
+ABL_MLP = SimpleNamespace(
+    MLP_DIST=True, PE_TYPE="convofusion", SKIP_CONNECT=False,
+    VAE_TYPE="convofusion", DIFF_PE_TYPE="convofusion", CAUSAL_ATTN=False)
+ABL_STD = SimpleNamespace(
+    MLP_DIST=False, PE_TYPE="convofusion", SKIP_CONNECT=False,
+    VAE_TYPE="convofusion", DIFF_PE_TYPE="convofusion", CAUSAL_ATTN=False)
 
 
 def test_vae_all_encoder_roundtrip():
@@ -89,6 +111,115 @@ def test_embed_action_guided_inference_zeroes_first_half():
     assert out.shape == (4, 1, D)
     np.testing.assert_allclose(np.asarray(out[:2]), 0.0)
     assert np.abs(np.asarray(out[2:])).sum() > 0
+
+
+def test_vae_mlp_dist_encode_matches_torch(reference_path):
+    """MLP_DIST encode golden: body/hands_dist_layer mu/logvar vs torch
+    (vae.py:135-141,241-249)."""
+    torch = pytest.importorskip("torch")
+    from convofusion.models.architectures.vae import (
+        ConvoFusionVae as TorchVae,
+    )
+
+    from convofusion_tpu.compat import torch_loader as tl
+
+    torch.manual_seed(20)
+    m = TorchVae(
+        ablation=ABL_MLP, nfeats=189, latent_dim=[1, D], ff_size=64,
+        num_layers=3, num_heads=2, dropout=0.0, arch="encoder_decoder",
+        normalize_before=True, activation="gelu",
+        position_embedding="sine")
+    m.eval()
+    bs, frames = 2, 128
+    feats = torch.randn(bs, frames, 189)
+    with torch.no_grad():
+        _, dist_t, _ = m.encode(feats.clone(), [frames] * bs)
+
+    ours = ConvoFusionVae(
+        nfeats=189, latent_dim=D, ff_size=64, num_layers=3, num_heads=2,
+        dropout=0.0, normalize_before=True, activation="gelu",
+        position_embedding="sine", mlp_dist=True)
+    sd = tl.to_numpy_state_dict(m)
+    params = tl.vae_params(sd, D, 3)
+    params["body_dist_layer"] = tl.linear(sd, "body_dist_layer")
+    params["hands_dist_layer"] = tl.linear(sd, "hands_dist_layer")
+
+    _, (mu_j, logvar_j), _ = ours.apply(
+        {"params": params}, jnp.asarray(feats.numpy()),
+        method=ours.encode)
+    np.testing.assert_allclose(
+        np.asarray(mu_j).reshape(2, bs * 8, D), dist_t.loc.numpy(),
+        rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(jnp.exp(0.5 * logvar_j)).reshape(2, bs * 8, D),
+        dist_t.scale.numpy(), rtol=2e-3, atol=2e-3)
+
+
+def test_embed_action_matches_torch(reference_path):
+    """EmbedAction golden incl. guided first-half zeroing
+    (denoiser.py:389-437)."""
+    torch = pytest.importorskip("torch")
+    from convofusion.models.architectures.denoiser import (
+        EmbedAction as TorchEA,
+    )
+
+    torch.manual_seed(21)
+    m = TorchEA(5, D, guidance_scale=7.5)
+    m.eval()
+    action = torch.tensor([[1], [2], [3], [4]])
+    with torch.no_grad():
+        out_t = m(action)          # (1, B, D): uncond half zeroed
+
+    ours = EmbedAction(num_actions=5, latent_dim=D, guidance_scale=7.5)
+    params = {"action_embedding": m.action_embedding.detach().numpy()}
+    out_j = ours.apply({"params": params},
+                       jnp.asarray(action.numpy(), jnp.int32))
+    # ours is (B, 1, D); torch is (1, B, D)
+    np.testing.assert_allclose(
+        np.asarray(out_j)[:, 0], out_t[0].numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_reference_trans_enc_is_dead_code(reference_path):
+    """The shipped reference cannot run arch='trans_enc' for any
+    condition (NameError on spk_emb / aspk, denoiser.py:288)."""
+    torch = pytest.importorskip("torch")
+    from convofusion.models.architectures.denoiser import (
+        Denoiser as TorchDenoiser,
+    )
+
+    def build(condition):
+        return TorchDenoiser(
+            ablation=ABL_STD, nfeats=189, condition=condition,
+            latent_dim=[1, D], ff_size=64, num_layers=3, num_heads=4,
+            dropout=0.0, normalize_before=True, activation="gelu",
+            flip_sin_to_cos=True, return_intermediate_dec=False,
+            position_embedding="sine", arch="trans_enc", freq_shift=0,
+            text_encoded_dim=64, audio_encoded_dim=64).eval()
+
+    sample = torch.randn(2, 16, D)
+    t = torch.tensor(100)
+    with pytest.raises(NameError):
+        build("text")(sample, t, torch.randn(2, 11, 64))
+    with pytest.raises(NameError):
+        cond = [torch.randn(2, n, 64) for n in (9, 12, 7, 8, 1)]
+        build("text+audio")(sample, t, cond)
+
+
+def test_reference_all_encoder_decode_is_dead_code(reference_path):
+    """all_encoder decode crashes on the renamed `zb` (vae.py:300)."""
+    torch = pytest.importorskip("torch")
+    from convofusion.models.architectures.vae import (
+        ConvoFusionVae as TorchVae,
+    )
+
+    m = TorchVae(
+        ablation=ABL_STD, nfeats=189, latent_dim=[1, D], ff_size=64,
+        num_layers=3, num_heads=2, dropout=0.0, arch="all_encoder",
+        normalize_before=True, activation="gelu",
+        position_embedding="sine").eval()
+    z = torch.randn(2, 2, 8, D)
+    with pytest.raises(NameError):
+        m.decode(z, [128, 128])
 
 
 def test_controller_spk_ta_mode():
