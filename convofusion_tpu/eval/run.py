@@ -50,14 +50,25 @@ def evaluate_results(result_dir: str, mode: str = "monadic",
         raise FileNotFoundError(f"no gt.npy under {result_dir}")
 
     fid_extractor = fid_params = None
+    fid_random_init = False
     if fidnet_path and os.path.exists(fidnet_path):
         fid_extractor = HalfEmbeddingNet(128, 189, 300)
         fid_params = load_torch_fidnet(fidnet_path)
     elif mode == "dyadic":
-        # FID features require the released autoencoder; random-init
-        # features still yield a comparable relative number for smoke runs
+        # FID features require the released autoencoder
+        # (quant_eval/dyadic_eval.py:31-34).  Random-init features give a
+        # NUMBER but not a comparable metric — mark it unmistakably so a
+        # smoke run can't be mistaken for an evaluation.
+        import warnings
+
+        warnings.warn(
+            f"FID net weights not found at {fidnet_path!r}; computing FID "
+            "with a RANDOM-INIT feature extractor. The value is reported "
+            "as 'fid_random_init_features' and is NOT comparable to the "
+            "published metric.")
         fid_extractor = HalfEmbeddingNet(128, 189, 300)
         fid_params = fid_extractor.init_params(0)
+        fid_random_init = True
 
     align, counter = 0.0, 0
     jitters = []
@@ -117,8 +128,9 @@ def evaluate_results(result_dir: str, mode: str = "monadic",
     if mode == "monadic":
         out["srgr"] = srgr_cal.avg()
     if fid_extractor is not None and len(lat_pred) > 1:
-        out["fid"] = frechet_distance(np.stack(lat_pred),
-                                      np.stack(lat_gt))
+        key = "fid_random_init_features" if fid_random_init else "fid"
+        out[key] = frechet_distance(np.stack(lat_pred),
+                                    np.stack(lat_gt))
     return out
 
 

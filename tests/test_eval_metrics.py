@@ -128,5 +128,9 @@ def test_evaluate_results_over_dump(tmp_path):
     assert out["l1div"] > 0
     assert "srgr" in out
 
-    out_d = evaluate_results(str(tmp_path), "dyadic", fidnet_path=None)
-    assert "fid" in out_d and np.isfinite(out_d["fid"])
+    # without released FID-net weights the value must be unmistakably
+    # marked as non-comparable (random-init features)
+    with pytest.warns(UserWarning, match="RANDOM-INIT"):
+        out_d = evaluate_results(str(tmp_path), "dyadic", fidnet_path=None)
+    assert "fid" not in out_d
+    assert np.isfinite(out_d["fid_random_init_features"])
