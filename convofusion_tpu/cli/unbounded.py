@@ -92,6 +92,7 @@ def rollout(model, params, batch, key, window_frames: int = 128,
 
     preseq = None
     prev = None
+    uncond_cache = None
     outputs = []
     for chunk_idx in range(n_iters):
         t0 = time.time()
@@ -135,10 +136,14 @@ def rollout(model, params, batch, key, window_frames: int = 128,
             if fv.any():
                 focus = {"focus_idx": fi, "focus_valid": fv}
 
+        # the uncond branch depends only on the (fixed) window geometry:
+        # encode it once and reuse across all windows
+        if uncond_cache is None:
+            uncond_cache = jax.jit(model.encode_uncond)(params, arrays)
         key, k = jax.random.split(key)
         motion, latents, att = model.sample(
             params, arrays, k, num_inference_steps=num_inference_steps,
-            focus=focus, preseq=preseq)
+            focus=focus, preseq=preseq, uncond_cache=uncond_cache)
 
         # second half of the window's latent tokens feed the next window
         preseq = latents[:, latents.shape[1] // 2:, :]

@@ -611,6 +611,23 @@ class Convofusion:
         (latents, _, _, _), att_seq = jax.lax.scan(body, carry0, steps)
         return latents, att_seq
 
+    def encode_uncond(self, params, batch):
+        """Unconditional branch conditions for ``batch``'s shapes.
+
+        The uncond rows are constant given the batch geometry (fixed
+        uncond token ids, −90 dB mel, apb=2, lsn_id=0), so callers that
+        sample repeatedly — the windowed rollout, serving loops — can
+        compute this ONCE and pass it to :meth:`sample` as
+        ``uncond_cache``, skipping one full T5/audio/fuser encode per
+        call."""
+        return self.encode_conditions(
+            params, batch["uncond_ids"], batch["uncond_tmask"],
+            batch["uncond_ids"], batch["uncond_tmask"],
+            uncond_melspec(batch["melspec_lsn"].shape,
+                           batch["melspec_lsn"].dtype),
+            jnp.full_like(batch["active_passive_lsn"], 2),
+            jnp.zeros_like(batch["lsn_id"]))
+
     def sample(
         self,
         params,
@@ -621,11 +638,14 @@ class Convofusion:
         focus: Optional[Dict] = None,
         deterministic_cond=True,
         preseq: Optional[jnp.ndarray] = None,
+        uncond_cache=None,
     ):
         """End-to-end generation for a prepared array batch: encode
         conditions, run guided reverse diffusion, decode motion.
 
         ``focus``: optional dict(focus_idx, focus_valid) enabling WEG.
+        ``uncond_cache``: optional (cond_unc, masks_unc) from
+        :meth:`encode_uncond` to skip re-encoding the constant branch.
         Returns (motion (B, 128, nfeats), latents (B, 16, D), att_seq).
         """
         b = batch["lsn_ids"].shape[0]
@@ -633,13 +653,8 @@ class Convofusion:
             params, batch["spk_ids"], batch["spk_tmask"], batch["lsn_ids"],
             batch["lsn_tmask"], batch["melspec_lsn"],
             batch["active_passive_lsn"], batch["lsn_id"])
-        cond_unc, masks_unc = self.encode_conditions(
-            params, batch["uncond_ids"], batch["uncond_tmask"],
-            batch["uncond_ids"], batch["uncond_tmask"],
-            uncond_melspec(batch["melspec_lsn"].shape,
-                           batch["melspec_lsn"].dtype),
-            jnp.full_like(batch["active_passive_lsn"], 2),
-            jnp.zeros_like(batch["lsn_id"]))
+        cond_unc, masks_unc = (uncond_cache if uncond_cache is not None
+                               else self.encode_uncond(params, batch))
 
         weg = None
         if focus is not None:

@@ -167,3 +167,31 @@ def test_dpmpp_sampling():
     motion, _, _ = model.sample(params, batch, jax.random.PRNGKey(8))
     assert motion.shape == (B, 128, 189)
     assert np.isfinite(np.asarray(motion)).all()
+
+
+def test_sample_with_uncond_cache_is_identical():
+    """encode_uncond + uncond_cache must be a pure hoist: outputs equal
+    the uncached path bitwise (same key, same batch)."""
+    import jax
+
+    from convofusion_tpu.config.testing import tiny_config
+    from convofusion_tpu.data.synthetic import (
+        prepare_arrays,
+        synthetic_raw_batch,
+    )
+    from convofusion_tpu.models.convofusion import Convofusion
+
+    model = Convofusion(tiny_config("diffusion"))
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch, _, _ = prepare_arrays(model, synthetic_raw_batch(0, 2))
+    key = jax.random.PRNGKey(7)
+
+    motion_a, lat_a, _ = model.sample(params, batch, key,
+                                      num_inference_steps=3)
+    cache = model.encode_uncond(params, batch)
+    motion_b, lat_b, _ = model.sample(params, batch, key,
+                                      num_inference_steps=3,
+                                      uncond_cache=cache)
+    np.testing.assert_array_equal(np.asarray(motion_a),
+                                  np.asarray(motion_b))
+    np.testing.assert_array_equal(np.asarray(lat_a), np.asarray(lat_b))
