@@ -51,11 +51,16 @@ def main():
     args = ap.parse_args()
 
     if args.host_devices:
+        import re
+
         flags = os.environ.get("XLA_FLAGS", "")
-        os.environ["XLA_FLAGS"] = (
-            flags +
-            f" --xla_force_host_platform_device_count={args.host_devices}"
-        ).strip()
+        flag = f"--xla_force_host_platform_device_count={args.host_devices}"
+        if "xla_force_host_platform_device_count" in flags:
+            flags = re.sub(
+                r"--xla_force_host_platform_device_count=\d+", flag, flags)
+        else:
+            flags = (flags + " " + flag).strip()
+        os.environ["XLA_FLAGS"] = flags
 
     import jax
 
@@ -99,7 +104,10 @@ def main():
 
         from convofusion_tpu.parallel.mesh import create_mesh
 
-        n_chips = min(args.mesh, len(jax.devices()))
+        n_chips = args.mesh
+        assert len(jax.devices()) >= n_chips, (
+            f"--mesh {n_chips} requested but only {len(jax.devices())} "
+            "devices available (use --host-devices for a virtual CPU mesh)")
         assert args.batch % n_chips == 0, "batch must divide the mesh"
         mesh = create_mesh(n_data=n_chips, n_model=1,
                            devices=jax.devices()[:n_chips])
@@ -182,7 +190,12 @@ def main():
         f"mesh={n_chips} platform={jax.devices()[0].platform}",
         file=sys.stderr)
 
-    if args.mfu:
+    if args.mfu and n_chips > 1:
+        print("# --mfu is single-chip-only: cost_analysis() of an "
+              "SPMD-partitioned executable reports per-device FLOPs, "
+              "which would double-count the mesh division. Run --mfu "
+              "without --mesh.", file=sys.stderr)
+    elif args.mfu:
         # XLA cost_analysis counts the lax.scan body ONCE, so the whole-jit
         # number wildly undercounts a 50-step sampler.  Scan-aware total:
         # whole-jit flops (fixed cost + 1 step) + (steps-1) x per-step

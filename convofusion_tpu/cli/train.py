@@ -92,10 +92,13 @@ def main(argv=None):
         """Mean every loss term over the epoch (base.py:45-67)."""
         if not term_dicts:
             return {}
-        keys = term_dicts[0].keys()
+        # one device->host transfer for the whole epoch's terms, not one
+        # blocking sync per term per step
+        host = jax.device_get(term_dicts)
+        keys = host[0].keys()
         return {
             loss2logname(k, split): float(
-                np.mean([float(d[k]) for d in term_dicts]))
+                np.mean([float(d[k]) for d in host]))
             for k in keys
         }
 

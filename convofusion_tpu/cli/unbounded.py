@@ -92,7 +92,7 @@ def rollout(model, params, batch, key, window_frames: int = 128,
 
     preseq = None
     prev = None
-    uncond_cache = None
+    uncond_cache = {}
     outputs = []
     for chunk_idx in range(n_iters):
         t0 = time.time()
@@ -136,14 +136,18 @@ def rollout(model, params, batch, key, window_frames: int = 128,
             if fv.any():
                 focus = {"focus_idx": fi, "focus_valid": fv}
 
-        # the uncond branch depends only on the (fixed) window geometry:
-        # encode it once and reuse across all windows
-        if uncond_cache is None:
-            uncond_cache = jax.jit(model.encode_uncond)(params, arrays)
+        # the uncond branch depends only on the window geometry: encode it
+        # once per distinct melspec length (the final window's slice can be
+        # one frame shorter) and reuse across windows
+        mel_frames = arrays["melspec_lsn"].shape[1]
+        if uncond_cache.get(mel_frames) is None:
+            uncond_cache[mel_frames] = jax.jit(model.encode_uncond)(
+                params, arrays)
         key, k = jax.random.split(key)
         motion, latents, att = model.sample(
             params, arrays, k, num_inference_steps=num_inference_steps,
-            focus=focus, preseq=preseq, uncond_cache=uncond_cache)
+            focus=focus, preseq=preseq,
+            uncond_cache=uncond_cache[mel_frames])
 
         # second half of the window's latent tokens feed the next window
         preseq = latents[:, latents.shape[1] // 2:, :]

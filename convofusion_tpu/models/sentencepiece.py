@@ -15,7 +15,9 @@ so we implement the two pieces natively:
   byte-identical in behavior to ``AutoTokenizer.from_pretrained('t5-base')``:
   Unigram model + reversed ``<extra_id_*>`` tail, Precompiled(nmt_nfkc)
   normalizer, Metaspace pre-tokenizer (prepend_scheme='always'),
-  ``$A </s>`` template.  Requires only the baked-in ``tokenizers`` lib.
+  ``$A </s>`` template.  :func:`build_t5_tokenizer_object` needs only the
+  ``tokenizers`` lib; :func:`convert_t5_fast` additionally wraps it in a
+  ``transformers.PreTrainedTokenizerFast`` for padding/word_ids.
 * :class:`UnigramEncoder` — a pure-python Viterbi unigram segmenter used as
   a last-resort fallback and as an independently testable implementation
   (oracle-tested against ``tokenizers.models.Unigram`` in
@@ -204,7 +206,8 @@ def build_t5_tokenizer_object(sp: SPModel, extra_ids: int = 100):
 
     vocab = sp.vocab_scores()
     vocab += [(f"<extra_id_{i}>", 0.0) for i in range(extra_ids - 1, -1, -1)]
-    tok = Tokenizer(Unigram(vocab, unk_id=sp.unk_id, byte_fallback=False))
+    tok = Tokenizer(Unigram(vocab, unk_id=sp.unk_id,
+                            byte_fallback=sp.byte_fallback))
 
     # control (type 3) pieces are special added tokens; user-defined (4) not
     spm_added = [(i, p, t == CONTROL) for i, (p, _, t) in
