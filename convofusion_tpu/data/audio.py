@@ -106,9 +106,18 @@ def stft_power(y: np.ndarray, n_fft: int = 2048, hop_length: int = 512
 def melspectrogram(y: np.ndarray, sr: int = 16000, n_fft: int = 2048,
                    hop_length: int = 512, n_mels: int = 80) -> np.ndarray:
     """Power mel spectrogram, (n_frames, n_mels) — note the transpose vs
-    librosa (the reference transposes immediately, dataset.py:517)."""
-    power = stft_power(y, n_fft, hop_length)
+    librosa (the reference transposes immediately, dataset.py:517).
+
+    Uses the native C++ kernel (convofusion_tpu/native) when available —
+    same math, OpenMP over frames; numpy otherwise."""
     fb = mel_filterbank(sr, n_fft, n_mels)
+    from convofusion_tpu import native
+
+    out = native.melspec_power(np.asarray(y, np.float32), fb, n_fft,
+                               hop_length)
+    if out is not None:
+        return out
+    power = stft_power(y, n_fft, hop_length)
     return power @ fb.T
 
 
