@@ -493,7 +493,22 @@ class Convofusion:
             wp = self.weg_parameters
             scale_factor = float(wp.get("scale_factor", 1000))
             lo, hi = wp.get("scale_range", [1.0, 0.5])
-            scale_range = np.linspace(float(lo), float(hi), n_steps)
+            schedule = str(wp.get("scale_schedule", "reference"))
+            if schedule == "reference":
+                # the reference reassigns scale_range INSIDE the step loop
+                # (convofusion.py:395,436-441: linspace(sr[0], sr[1], n)
+                # every iteration), so the used value collapses to ~lo at
+                # every step and the lo->hi decay never happens; replicate
+                # the mutated sequence exactly (host-side, cheap)
+                sr = [float(lo), float(hi)]
+                scale_range = np.empty(n_steps, np.float64)
+                for i in range(n_steps):
+                    sr = np.linspace(sr[0], sr[1], n_steps)
+                    scale_range[i] = sr[i]
+            else:
+                # 'linspace': the decay the parameters describe (and the
+                # Attend-and-Excite source implements)
+                scale_range = np.linspace(float(lo), float(hi), n_steps)
             step_sizes = jnp.asarray(
                 scale_factor * np.sqrt(scale_range), jnp.float32)
             thresholds = np.full(n_steps, -1.0, np.float32)
