@@ -392,3 +392,96 @@ def test_sampler_decoded_motion_matches_torch(twins, refmod, monkeypatch):
         rtol=5e-3, atol=5e-3)
     np.testing.assert_allclose(
         motion_j, motion_t.numpy(), rtol=1e-2, atol=1e-2)
+
+
+def test_weg_sampler_matches_torch(twins, refmod, monkeypatch):
+    """Full WEG path E2E: text-only pass, eot-normalized max attention,
+    bounded iterative refinement + per-step latent update — the reference
+    executes its real in-loop WEG block (convofusion.py:436-496 +
+    iterative_refinement_step :298-388).  Batch 1 (the reference asserts
+    it for eot normalization); focus indices interior to the text region
+    so smoothing agrees exactly; ours runs the 'reference'
+    scale_schedule so the mutated scale_range sequence matches too."""
+    den_t, _, _, _, params = twins
+    cfg = tiny_config("diffusion")
+    cfg.model.scheduler["num_inference_timesteps"] = NSTEPS
+    cfg.TPU.PALLAS_STEP = False
+    cfg.model.weg_parameters = {
+        "scale_factor": 0.05, "scale_range": [1.0, 0.5],
+        "thresholds": {1: 0.9}, "max_iter_to_alter": 800,
+        "max_refinement_steps": 2, "scale_schedule": "reference",
+    }
+    model = Convofusion(cfg)
+
+    b = 1
+    rng = np.random.default_rng(21)
+    shapes = {"spkemb": (b, T_SPK, D), "alsn": (b, T_AUD, D),
+              "tlsn": (b, 10, D), "apb": (b, T_APB, D),
+              "lsnemb": (b, 1, D)}
+    cond_real = {k: rng.standard_normal(v).astype(np.float32) * 0.5
+                 for k, v in shapes.items()}
+    cond_unc = {k: rng.standard_normal(v).astype(np.float32) * 0.5
+                for k, v in shapes.items()}
+    pad_txt = np.zeros((b, 10), bool)
+    pad_txt[:, 8:] = True                  # first pad 8 -> eot 7
+    pad_spk = np.zeros((b, T_SPK), bool)
+    masks_real = {"spkemb": pad_spk, "tlsn": pad_txt}
+    masks_unc = {"spkemb": pad_spk,
+                 "tlsn": np.zeros((b, 10), bool)}
+
+    focus = [2, 4]                         # interior: 2 <= i <= eot-2
+    cond_text = {s: (cond_real[s] if s == "tlsn" else cond_unc[s])
+                 for s in COND_STREAMS}
+    masks_text = {s: (masks_real[s] if s == "tlsn" else masks_unc[s])
+                  for s in ("spkemb", "tlsn")}
+    weg = dict(
+        cond_text={k: jnp.asarray(v) for k, v in cond_text.items()},
+        masks_text={k: jnp.asarray(v) for k, v in masks_text.items()},
+        focus_idx=jnp.asarray([focus], jnp.int32),
+        focus_valid=jnp.asarray([[1.0, 1.0]], jnp.float32),
+        eot_idx=jnp.asarray([7]))
+
+    key = jax.random.PRNGKey(13)
+    latents, _ = model.diffusion_reverse(
+        params,
+        {k: jnp.asarray(v) for k, v in cond_real.items()},
+        {k: jnp.asarray(v) for k, v in masks_real.items()},
+        {k: jnp.asarray(v) for k, v in cond_unc.items()},
+        {k: jnp.asarray(v) for k, v in masks_unc.items()},
+        key, b, num_inference_steps=NSTEPS, weg=weg)
+
+    init_noise, step_noises = _jax_noise_sequence(
+        key, NSTEPS, (b, 16, LAT_D))
+    shim = TorchSchedulerShim("ddpm", noise_queue=list(step_noises))
+    host = _ref_host(refmod, cfg, den_t, shim,
+                     float(cfg.model.guidance_scale))
+    host.weg_parameters = dict(cfg.model.weg_parameters)
+
+    enc = [torch.from_numpy(np.concatenate(
+        [cond_real[s] if g in REF_KEEP[s] else cond_unc[s]
+         for g in range(7)], axis=0)) for s in COND_STREAMS]
+    cond_masks = {
+        s: torch.from_numpy(np.concatenate(
+            [masks_real[s] if g in REF_KEEP[s] else masks_unc[s]
+             for g in range(7)], axis=0))
+        for s in ("spkemb", "tlsn")}
+
+    calls = []
+
+    def fake_randn(*shape, **kw):
+        calls.append(shape)
+        return torch.from_numpy(init_noise)
+
+    monkeypatch.setattr(torch, "randn", fake_randn)
+    try:
+        # the WEG branch needs gradients: no torch.no_grad here
+        z_t, _ = host._diffusion_reverse(
+            enc, lengths=[128] * b, cond_masks=cond_masks,
+            focus_indices=[focus])
+    finally:
+        monkeypatch.undo()
+    assert len(calls) == 1
+
+    np.testing.assert_allclose(
+        np.asarray(latents), z_t.detach().numpy().transpose(1, 0, 2),
+        rtol=1e-2, atol=1e-2)
