@@ -97,3 +97,30 @@ def test_rollout_windows_and_root_stitching(tmp_path):
 
     dirs = [d for d, _, files in os.walk(tmp_path) if "pred.npy" in files]
     assert len(dirs) == 2 * n_parts - 1
+
+
+def test_select_focus_words_modes():
+    """Focus selection parity surface (convofusion.py:862-906)."""
+    from convofusion_tpu.cli.focus import select_focus_words
+
+    assert select_focus_words("no", ["anything"]) == []
+
+    # semantic: keyword words from BEAT sem_info rows, non-str filtered
+    sem = [[{"word": "dragons", "name": "semantic"},
+            {"word": float("nan"), "name": "beat"}],
+           []]
+    out = select_focus_words("semantic", ["t1", "t2"], sem_info=sem)
+    assert out == [["dragons"], []]
+
+    # random: a <=3-word phrase window of content words
+    import random as _r
+    _r.seed(0)
+    out = select_focus_words(
+        "random", ["the brave knights fight mighty dragons"])
+    assert len(out) == 1 and 1 <= len(out[0]) <= 3
+    for w in out[0]:
+        assert w in "the brave knights fight mighty dragons".split()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        select_focus_words("bogus", ["x"])
