@@ -48,6 +48,13 @@ def main():
     ap.add_argument("--mfu", action="store_true",
                     help="also report FLOPs/clip and MFU from XLA "
                          "cost_analysis (stderr)")
+    ap.add_argument("--sampler", default="ddim",
+                    choices=["ddim", "ddpm", "dpmpp_2m"],
+                    help="reverse-process variant (dpmpp_2m = fast "
+                         "deployment mode; pair with --steps 15-20)")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of one timed "
+                         "iteration into DIR")
     args = ap.parse_args()
 
     if args.host_devices:
@@ -84,7 +91,7 @@ def main():
             os.path.join(DEFAULTS_DIR, "config_cf_beatdnd.yaml"))
         cfg.DATASET.NFEATS = 189
         cfg.DATASET.NJOINTS = 63
-    cfg.model.scheduler["variant"] = "ddim"
+    cfg.model.scheduler["variant"] = args.sampler
     cfg.model.scheduler["num_inference_timesteps"] = args.steps
     for block in ("denoiser", "motion_vae", "text_encoder", "audio_encoder"):
         cfg.model[block].params["compute_dtype"] = args.dtype
@@ -173,11 +180,17 @@ def main():
         motion.block_until_ready()
         times.append(time.time() - t0)
 
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            motion = sample(params, batch, jax.random.PRNGKey(99))
+            motion.block_until_ready()
+        print(f"# profiler trace written to {args.trace}", file=sys.stderr)
+
     best = min(times)
     clips_per_sec = args.batch / best / n_chips
     n_dev = jax.local_device_count()
     result = {
-        "metric": f"clips_per_sec_{args.steps}step_ddim",
+        "metric": f"clips_per_sec_{args.steps}step_{args.sampler}",
         "value": round(clips_per_sec, 2),
         "unit": "clips/s/chip",
         "vs_baseline": round(clips_per_sec / 50.0, 3),
