@@ -56,6 +56,39 @@ def main(argv=None):
                                             1000))
     capture = "all" if cfg.TEST.SAVE_PREDICTIONS else "none"
 
+    # data-parallel inference over all local chips (batch sharded over
+    # 'data', params replicated) when the batch divides the device count
+    n_dev = jax.local_device_count()
+    data_sharding = None
+    if n_dev > 1 and int(cfg.TEST.BATCH_SIZE) % n_dev == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from convofusion_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(n_data=n_dev, n_model=1)
+        data_sharding = NamedSharding(mesh, P("data"))
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        logger.info(f"data-parallel sampling over {n_dev} devices")
+
+    # one compiled sampler per (batch geometry, focus on/off); the uncond
+    # branch is constant per geometry -> encode once and reuse
+    _compiled = {}
+
+    def sample_batch(arrays, k, focus):
+        if data_sharding is not None:
+            arrays = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, data_sharding), arrays)
+        geom = (arrays["lsn_ids"].shape,
+                arrays["melspec_lsn"].shape, focus is not None)
+        if geom not in _compiled:
+            cache = jax.jit(model.encode_uncond)(params, arrays)
+            fn = jax.jit(lambda p, b, kk, f, c: model.sample(
+                p, b, kk, num_inference_steps=num_steps,
+                capture_attention=capture, focus=f, uncond_cache=c))
+            _compiled[geom] = (fn, cache)
+        fn, cache = _compiled[geom]
+        return fn(params, arrays, k, focus, cache)
+
     loader = datamodule.test_dataloader()
     times = []
     timer = None
@@ -93,9 +126,7 @@ def main(argv=None):
                 focus = {"focus_idx": fi, "focus_valid": fv}
 
         key, k = jax.random.split(key)
-        motion, latents, att_seq = model.sample(
-            params, arrays, k, num_inference_steps=num_steps,
-            capture_attention=capture, focus=focus)
+        motion, latents, att_seq = sample_batch(arrays, k, focus)
         motion.block_until_ready()
         times.append(time.time() - t0)
         if timer:
