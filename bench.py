@@ -58,16 +58,9 @@ def main():
     args = ap.parse_args()
 
     if args.host_devices:
-        import re
+        from convofusion_tpu.utils.hostenv import set_host_device_count
 
-        flags = os.environ.get("XLA_FLAGS", "")
-        flag = f"--xla_force_host_platform_device_count={args.host_devices}"
-        if "xla_force_host_platform_device_count" in flags:
-            flags = re.sub(
-                r"--xla_force_host_platform_device_count=\d+", flag, flags)
-        else:
-            flags = (flags + " " + flag).strip()
-        os.environ["XLA_FLAGS"] = flags
+        set_host_device_count(args.host_devices)
 
     import jax
 
@@ -125,6 +118,10 @@ def main():
         params = jax.device_put(params, rep)
 
     if args.mode == "train":
+        if args.mfu:
+            print("# --mfu applies to sample mode only (the train step "
+                  "has no scan to correct for); ignoring.",
+                  file=sys.stderr)
         import optax
 
         opt = optax.adamw(7e-5)
@@ -221,14 +218,7 @@ def main():
                 params, batch["spk_ids"], batch["spk_tmask"],
                 batch["lsn_ids"], batch["lsn_tmask"], batch["melspec_lsn"],
                 batch["active_passive_lsn"], batch["lsn_id"])
-            from convofusion_tpu.models.convofusion import uncond_melspec
-            cond_u, masks_u = model.encode_conditions(
-                params, batch["uncond_ids"], batch["uncond_tmask"],
-                batch["uncond_ids"], batch["uncond_tmask"],
-                uncond_melspec(batch["melspec_lsn"].shape,
-                               batch["melspec_lsn"].dtype),
-                jnp.full_like(batch["active_passive_lsn"], 2),
-                jnp.zeros_like(batch["lsn_id"]))
+            cond_u, masks_u = model.encode_uncond(params, batch)
             lat = jnp.zeros((args.batch, 2 * model.n_chunks,
                              model.latent_dim), jnp.float32)
             one_step = jax.jit(lambda p, z, t: model.denoiser.apply(

@@ -380,8 +380,11 @@ class Convofusion:
                 raise ValueError(
                     "LAMBDA_PRIOR requires PREDICT_EPSILON (the reference's "
                     "x-prediction path never chunks the target)")
-            np_main, np_prior = jnp.split(noise_pred, 2, axis=0)
-            tgt_main, n_prior = jnp.split(target, 2, axis=0)
+            # torch.chunk semantics: first half gets the extra row when
+            # the batch is odd (convofusion.py:592-593)
+            h = (noise_pred.shape[0] + 1) // 2
+            np_main, np_prior = noise_pred[:h], noise_pred[h:]
+            tgt_main, n_prior = target[:h], target[h:]
 
         kwargs = dict(
             noise_pred_prior=np_prior, noise_prior=n_prior,

@@ -36,8 +36,10 @@ def _build() -> str | None:
     so = os.path.join(cache_dir, f"libmelspec-{tag}.so")
     if os.path.exists(so):
         return so
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", _SRC, "-o",
-           so + ".tmp"]
+    # per-process temp name so concurrent builders can't interleave
+    # output; os.replace is atomic, last writer wins with a valid file
+    tmp = f"{so}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except Exception:
@@ -47,7 +49,7 @@ def _build() -> str | None:
                            timeout=120)
         except Exception:
             return None
-    os.replace(so + ".tmp", so)
+    os.replace(tmp, so)
     return so
 
 
@@ -65,14 +67,24 @@ def load():
         so = _build()
         if so is None:
             return None
-        lib = ctypes.CDLL(so)
-        lib.melspec_power.restype = ctypes.c_int
-        lib.melspec_power.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-        ]
+        try:
+            lib = ctypes.CDLL(so)
+            lib.melspec_power.restype = ctypes.c_int
+            lib.melspec_power.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ]
+        except (OSError, AttributeError):
+            # unloadable cached artifact (missing libgomp, corruption,
+            # missing symbol): drop it and fall back to numpy rather than
+            # crash the loader
+            try:
+                os.unlink(so)
+            except OSError:
+                pass
+            return None
         _lib = lib
     return _lib
 

@@ -2,9 +2,10 @@
 //
 // Computes the hot part of convofusion_tpu/data/audio.py::melspectrogram —
 // zero-padded centered framing, periodic Hann window, radix-2 real FFT,
-// power spectrum, mel filterbank projection — bit-compatible (to fp32
-// round-off) with the numpy implementation, which itself replicates
-// librosa 0.10 defaults (the reference's dataset.py:506-520 feature path).
+// power spectrum, mel filterbank projection.  All internals run in double
+// precision (matching numpy's float64 rfft upcast), so the float32 output
+// agrees with the numpy implementation to output-rounding error; numpy
+// itself replicates librosa 0.10 defaults (reference dataset.py:506-520).
 //
 // The BEAT corpus is tens of hours of 16 kHz audio featurized at dataset
 // construction time (dataset.py:183,284); this kernel removes the python
@@ -27,8 +28,8 @@ namespace {
 constexpr double kPi = 3.14159265358979323846;
 
 // iterative radix-2 complex FFT, in place; n must be a power of two
-void fft_inplace(float* re, float* im, int n, const float* cos_tab,
-                 const float* sin_tab) {
+void fft_inplace(double* re, double* im, int n, const double* cos_tab,
+                 const double* sin_tab) {
   // bit-reversal permutation
   for (int i = 1, j = 0; i < n; ++i) {
     int bit = n >> 1;
@@ -43,12 +44,12 @@ void fft_inplace(float* re, float* im, int n, const float* cos_tab,
     const int step = n / len;
     for (int i = 0; i < n; i += len) {
       for (int k = 0; k < len / 2; ++k) {
-        const float wr = cos_tab[k * step];
-        const float wi = sin_tab[k * step];
+        const double wr = cos_tab[k * step];
+        const double wi = sin_tab[k * step];
         const int a = i + k, b = i + k + len / 2;
-        const float ur = re[a], ui = im[a];
-        const float vr = re[b] * wr - im[b] * wi;
-        const float vi = re[b] * wi + im[b] * wr;
+        const double ur = re[a], ui = im[a];
+        const double vr = re[b] * wr - im[b] * wi;
+        const double vi = re[b] * wi + im[b] * wr;
         re[a] = ur + vr;
         im[a] = ui + vi;
         re[b] = ur - vr;
@@ -75,21 +76,20 @@ int melspec_power(const float* y, int64_t n, int n_fft, int hop,
   const int pad = n_fft / 2;
   const int n_bins = n_fft / 2 + 1;
 
-  // window + twiddle tables (shared across frames)
-  std::vector<float> window(n_fft), cos_tab(n_fft / 2), sin_tab(n_fft / 2);
+  // window + twiddle tables (shared across frames), double precision
+  std::vector<double> window(n_fft), cos_tab(n_fft / 2), sin_tab(n_fft / 2);
   for (int i = 0; i < n_fft; ++i)
-    window[i] = 0.5f - 0.5f * static_cast<float>(
-        std::cos(2.0 * kPi * i / n_fft));
+    window[i] = 0.5 - 0.5 * std::cos(2.0 * kPi * i / n_fft);
   for (int i = 0; i < n_fft / 2; ++i) {
-    cos_tab[i] = static_cast<float>(std::cos(-2.0 * kPi * i / n_fft));
-    sin_tab[i] = static_cast<float>(std::sin(-2.0 * kPi * i / n_fft));
+    cos_tab[i] = std::cos(-2.0 * kPi * i / n_fft);
+    sin_tab[i] = std::sin(-2.0 * kPi * i / n_fft);
   }
 
 #if defined(_OPENMP)
 #pragma omp parallel
 #endif
   {
-    std::vector<float> re(n_fft), im(n_fft), power(n_bins);
+    std::vector<double> re(n_fft), im(n_fft), power(n_bins);
 #if defined(_OPENMP)
 #pragma omp for schedule(static)
 #endif
@@ -97,9 +97,10 @@ int melspec_power(const float* y, int64_t n, int n_fft, int hop,
       const int64_t start = f * hop - pad;  // in unpadded coordinates
       for (int i = 0; i < n_fft; ++i) {
         const int64_t src = start + i;
-        const float v = (src >= 0 && src < n) ? y[src] : 0.0f;
+        const double v = (src >= 0 && src < n)
+            ? static_cast<double>(y[src]) : 0.0;
         re[i] = v * window[i];
-        im[i] = 0.0f;
+        im[i] = 0.0;
       }
       fft_inplace(re.data(), im.data(), n_fft, cos_tab.data(),
                   sin_tab.data());
@@ -108,9 +109,10 @@ int melspec_power(const float* y, int64_t n, int n_fft, int hop,
       float* row = out + f * n_mels;
       for (int m = 0; m < n_mels; ++m) {
         const float* w = fb + static_cast<int64_t>(m) * n_bins;
-        float acc = 0.0f;
-        for (int b = 0; b < n_bins; ++b) acc += power[b] * w[b];
-        row[m] = acc;
+        double acc = 0.0;
+        for (int b = 0; b < n_bins; ++b)
+          acc += power[b] * static_cast<double>(w[b]);
+        row[m] = static_cast<float>(acc);
       }
     }
   }

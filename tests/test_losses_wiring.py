@@ -126,3 +126,11 @@ def test_guided_attention_golden_vs_torch(reference_path):
     ours = guided_attention_loss(
         {k: jnp.asarray(v) for k, v in atts.items()})
     np.testing.assert_allclose(float(ours), float(ref_loss), rtol=1e-5)
+
+
+def test_prior_loss_odd_batch_chunks_like_torch():
+    """torch.chunk gives the first half the extra row (convofusion.py:592)."""
+    model, params, batch = _model_and_batch(n=5, LAMBDA_PRIOR=0.5)
+    loss, terms = model.train_diffusion_loss(
+        params, batch, jax.random.PRNGKey(1))
+    assert "prior_loss" in terms and np.isfinite(float(loss))
