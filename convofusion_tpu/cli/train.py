@@ -27,6 +27,7 @@ def main(argv=None):
         load_checkpoint,
         save_checkpoint,
         transplant_vae,
+        wait_for_checkpoints,
     )
     from convofusion_tpu.callback.progress import ProgressLogger
     from convofusion_tpu.train.trainer import Trainer
@@ -155,8 +156,11 @@ def main(argv=None):
         progress.on_epoch_end(epoch, epoch_metrics)
         if (epoch + 1) % save_every == 0 or \
                 epoch == int(cfg.TRAIN.END_EPOCH) - 1:
-            path = save_checkpoint(ckpt_dir, epoch, params, opt_state)
-            logger.info(f"saved {path}")
+            # background write: the next epoch's compute overlaps host IO
+            path = save_checkpoint(ckpt_dir, epoch, params, opt_state,
+                                   background=True)
+            logger.info(f"saving {path} (async)")
+    wait_for_checkpoints()
     metrics.close()
     return params
 

@@ -25,6 +25,27 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+_async_ckpt = None
+
+
+def _async_checkpointer():
+    """Shared AsyncCheckpointer: writes happen on a background thread so
+    the train loop isn't blocked on host IO (the reference blocks inside
+    Lightning's ModelCheckpoint)."""
+    global _async_ckpt
+    if _async_ckpt is None:
+        import orbax.checkpoint as ocp
+
+        _async_ckpt = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckpt
+
+
+def wait_for_checkpoints():
+    """Block until pending async checkpoint writes are durable."""
+    if _async_ckpt is not None:
+        _async_ckpt.wait_until_finished()
+
+
 def strip_frozen_text_model(params: Dict) -> Dict:
     """Drop the frozen T5 stack before writing (base.py:83-92)."""
     out = dict(params)
@@ -46,13 +67,17 @@ def reinject_frozen_text_model(loaded: Dict, current: Dict) -> Dict:
 
 
 def save_checkpoint(ckpt_dir: str, step: int, params: Dict,
-                    opt_state=None, keep_text_model: bool = False):
+                    opt_state=None, keep_text_model: bool = False,
+                    background: bool = False):
+    """Write ``epoch=<step>``; with ``background`` the write overlaps the
+    next epoch's compute (call :func:`wait_for_checkpoints` before exit)."""
     path = Path(ckpt_dir) / f"epoch={step}"
     tree = {"params": params if keep_text_model
             else strip_frozen_text_model(params)}
     if opt_state is not None:
         tree["opt_state"] = opt_state
-    _checkpointer().save(str(path.absolute()), tree, force=True)
+    ckpt = _async_checkpointer() if background else _checkpointer()
+    ckpt.save(str(path.absolute()), tree, force=True)
     return str(path)
 
 
