@@ -54,7 +54,9 @@ def main():
                          "deployment mode; pair with --steps 15-20)")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one timed "
-                         "iteration into DIR")
+                         "iteration into DIR (NB: hangs on tunneled "
+                         "TPU backends; use on directly attached "
+                         "devices or --platform cpu)")
     args = ap.parse_args()
 
     if args.host_devices:

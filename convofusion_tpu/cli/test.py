@@ -33,6 +33,9 @@ def main(argv=None):
     from convofusion_tpu.utils.logger import create_logger
 
     cfg = parse_args("test", argv)
+    from convofusion_tpu.utils.jaxsetup import setup_jax
+
+    setup_jax(cfg)
     logger = create_logger(cfg, "test")
     datamodule = get_datasets(cfg, phase="test")[0]
     model = Convofusion(cfg)

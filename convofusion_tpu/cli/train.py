@@ -35,6 +35,9 @@ def main(argv=None):
     from convofusion_tpu.utils.metrics_logger import MetricsLogger
 
     cfg = parse_args("train", argv)
+    from convofusion_tpu.utils.jaxsetup import setup_jax
+
+    setup_jax(cfg)
     # multi-host SPMD: every host runs this script; jax.distributed wires
     # the DCN mesh (reference scale-out was single-host Lightning DDP)
     if bool(cfg.get("TPU", {}).get("MULTIHOST", False)):

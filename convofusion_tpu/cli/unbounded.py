@@ -193,6 +193,9 @@ def main(argv=None):
     from convofusion_tpu.utils.logger import create_logger
 
     cfg = parse_args("test", argv)
+    from convofusion_tpu.utils.jaxsetup import setup_jax
+
+    setup_jax(cfg)
     # long-form clips: MAX_LEN covers the whole recording
     # (unbounded_synthesis.py:545-550 overrides MAX_LEN = 128*6)
     logger = create_logger(cfg, "unbounded")
