@@ -207,3 +207,31 @@ def test_nan_guard_matches_reference(datasets):
     finally:
         for ds in (ref, ours):
             ds.data_dict[name]["motions_lsn"] = saved
+
+
+def test_motion_dataset_field_parity(reference_path, roots):
+    """VAE-stage MotionDataset oracle: reference vs ours on the fixture
+    (dataset.py:737-972) — name lists and (motion, length, name) items."""
+    _install_data_shims()
+    from convofusion.data.beat_dnd.dataset import MotionDataset as RefMD
+
+    from convofusion_tpu.data.dataset import MotionDataset as OurMD
+
+    beat_root, dnd_root = roots
+    kwargs = dict(
+        split_file=[os.path.join(beat_root, "train.txt"),
+                    os.path.join(dnd_root, "train.txt")],
+        max_motion_length=128, min_motion_length=128, motion_rep="pos",
+        unit_length=1, dataset_path=[beat_root, dnd_root],
+        face_joint_idx=[18, 13, 9, 5], fps=25, dataset_select="both")
+    ref = RefMD(**kwargs)
+    ours = OurMD(**kwargs)
+    assert list(ref.name_list) == list(ours.name_list)
+    assert len(ref) == len(ours) > 0
+    for idx in range(len(ref)):
+        m_r, len_r, name_r = ref[idx]
+        m_o, len_o, name_o = ours[idx]
+        assert (len_o, name_o) == (len_r, name_r)
+        np.testing.assert_allclose(
+            np.asarray(m_o, np.float64), np.asarray(m_r, np.float64),
+            rtol=1e-3, atol=5e-4, err_msg=name_r)
