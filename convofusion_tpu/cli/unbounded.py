@@ -78,6 +78,16 @@ def rollout(model, params, batch, key, window_frames: int = 128,
     from convofusion_tpu.models.results import save_generation_results
     from convofusion_tpu.models.tokenizer import focus_word_indices
 
+    if weg_type != "no":
+        # the reference rollout does NOT read cfg.model.weg_parameters —
+        # diffusion_reverse_forecast hardcodes its own WEG constants
+        # (unbounded_synthesis.py:83-88); replicate them here
+        model.weg_parameters = dict(
+            scale_factor=100, scale_range=[1.0, 0.5],
+            thresholds={0: 0.05, 200: 0.4, 400: 0.6, 600: 0.8},
+            max_iter_to_alter=800, max_refinement_steps=300,
+            scale_schedule="reference")
+
     motion_len = window_frames
     fps = model.cfg.DATASET.BEATDND.FPS
     time_len = motion_len / fps

@@ -460,8 +460,11 @@ class Convofusion:
 
         ``preseq`` (optional, (B, L<=16, D)): previous-window latent tokens
         for long-form synthesis.  At every step the first L tokens are
-        overwritten with add_noise(preseq, init_noise, t) — diffusion
-        inpainting of the overlap (unbounded_synthesis.py:70-76).
+        overwritten with add_noise(preseq, noise, t) — diffusion
+        inpainting of the overlap (unbounded_synthesis.py:70-76).  The
+        noise is the initial gaussian at step 0 and the step-0 noised
+        preseq afterwards, replicating the reference's in-place aliasing
+        of ``init_noise`` (see the body note).
         """
         use_guided = (self.do_classifier_free_guidance
                       and not self.denoiser.fuse_streams)
@@ -490,6 +493,18 @@ class Convofusion:
         ) * self.scheduler.init_noise_sigma
         latents = init_noise
         preseq_len = preseq.shape[1] if preseq is not None else 0
+        if preseq is not None:
+            # Reference aliasing quirk (unbounded_synthesis.py:66-76): at
+            # step 0 `latents` IS `init_noise`, so the in-place overwrite
+            # `latents[:, :preseq_len] = noised_preseq` mutates init_noise
+            # itself; every later step's `preseq_noise = init_noise.clone()`
+            # therefore re-noises with the STEP-0 NOISED PRESEQ, not the
+            # raw gaussian.  Replicate exactly (golden-pinned by
+            # tests/test_unbounded_golden.py).
+            preseq_noise_step0 = init_noise[:, :preseq_len]
+            preseq_noise_later = self.noise_scheduler.add_noise(
+                preseq, preseq_noise_step0,
+                jnp.full((batch_size,), ts[0], jnp.int32))
 
         weg_enabled = weg is not None
         if weg_enabled:
@@ -539,11 +554,14 @@ class Convofusion:
             k, k_step = jax.random.split(k)
 
             if preseq is not None:
-                # re-noise the previous half-window to level t with the
-                # SAME initial noise every step, and overwrite the overlap
-                # (unbounded_synthesis.py:70-76)
+                # re-noise the previous half-window to level t and
+                # overwrite the overlap (unbounded_synthesis.py:70-76);
+                # the noise source switches after step 0 — see the
+                # aliasing note at preseq_noise_later above
+                preseq_noise = jnp.where(
+                    i == 0, preseq_noise_step0, preseq_noise_later)
                 noised = self.noise_scheduler.add_noise(
-                    preseq, init_noise[:, :preseq_len],
+                    preseq, preseq_noise,
                     jnp.full((batch_size,), t, jnp.int32))
                 lat = jnp.concatenate(
                     [noised, lat[:, preseq_len:, :]], axis=1)

@@ -124,3 +124,48 @@ def test_select_focus_words_modes():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         select_focus_words("bogus", ["x"])
+
+
+def test_rollout_weg_overrides_parameters_with_reference_hardcodes(
+        monkeypatch):
+    """The reference rollout hardcodes its WEG constants instead of
+    reading cfg.model.weg_parameters (unbounded_synthesis.py:83-88)."""
+    cfg = tiny_config("diffusion")
+    model = Convofusion(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert model.weg_parameters.get("scale_factor") != 100
+
+    def fake_sample(params, arrays, k, **kw):
+        b = arrays["lsn_id"].shape[0]
+        lat = jnp.zeros((b, 16, cfg.model.latent_dim[-1]))
+        return jnp.zeros((b, 128, 189)), lat, {}
+
+    monkeypatch.setattr(model, "sample", fake_sample)
+
+    rng = np.random.default_rng(5)
+    b, n_parts = 1, 1
+    frames = 128 * n_parts
+    n_samples = int(frames / 25 * 16000)
+    batch = {
+        "motion_lsn": synthetic_motion(rng, b, frames),
+        "motion_spk": synthetic_motion(rng, b, frames),
+        "melspec_lsn": synthetic_melspec(
+            rng, b, int(frames / 25 * 16000 // 512 + 1)),
+        "active_passive_lsn": rng.integers(
+            0, 2, (b, 8 * n_parts)).astype(np.int32),
+        "lsn_id": np.asarray([3], np.int32),
+        "audio_lsn": rng.normal(size=(b, n_samples)).astype(np.float32),
+        "audio_spk": rng.normal(size=(b, n_samples)).astype(np.float32),
+        "seg_lsn": [[[[0.0, 1.0], "brave"], [[1.5, 2.5], "dragons"]]],
+        "seg_spk": [[[[2.0, 3.0], "speaking"]]],
+        "name": ["long/weg"],
+        "text_spk": ["speaking"],
+    }
+    rollout(model, params, batch, jax.random.PRNGKey(6),
+            num_inference_steps=2, weg_type="random")
+    wp = model.weg_parameters
+    assert wp["scale_factor"] == 100
+    assert wp["scale_range"] == [1.0, 0.5]
+    assert wp["thresholds"] == {0: 0.05, 200: 0.4, 400: 0.6, 600: 0.8}
+    assert wp["max_iter_to_alter"] == 800
+    assert wp["max_refinement_steps"] == 300
