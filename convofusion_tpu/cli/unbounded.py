@@ -103,6 +103,20 @@ def rollout(model, params, batch, key, window_frames: int = 128,
     preseq = None
     prev = None
     uncond_cache = {}
+    # one compiled sampler per (mel length, focus on/off, preseq on/off):
+    # window shapes are static, so 2-3 compiles cover the whole rollout
+    compiled = {}
+
+    def sample_window(arrays, k, focus, preseq_, uc):
+        key_fn = (arrays["melspec_lsn"].shape[1], focus is not None,
+                  preseq_ is not None)
+        if key_fn not in compiled:
+            compiled[key_fn] = jax.jit(
+                lambda p, a, kk, f, ps, c: model.sample(
+                    p, a, kk, num_inference_steps=num_inference_steps,
+                    focus=f, preseq=ps, uncond_cache=c))
+        return compiled[key_fn](params, arrays, k, focus, preseq_, uc)
+
     outputs = []
     for chunk_idx in range(n_iters):
         t0 = time.time()
@@ -154,10 +168,8 @@ def rollout(model, params, batch, key, window_frames: int = 128,
             uncond_cache[mel_frames] = jax.jit(model.encode_uncond)(
                 params, arrays)
         key, k = jax.random.split(key)
-        motion, latents, att = model.sample(
-            params, arrays, k, num_inference_steps=num_inference_steps,
-            focus=focus, preseq=preseq,
-            uncond_cache=uncond_cache[mel_frames])
+        motion, latents, att = sample_window(
+            arrays, k, focus, preseq, uncond_cache[mel_frames])
 
         # second half of the window's latent tokens feed the next window
         preseq = latents[:, latents.shape[1] // 2:, :]
