@@ -35,9 +35,14 @@ def main():
                     help="use the padded fused 5-stream layout instead of "
                          "the (faster) guidance-aware grouped path")
     ap.add_argument("--mode", default="sample",
-                    choices=["sample", "train"],
+                    choices=["sample", "train", "rollout"],
                     help="sample = generation clips/s (headline); "
-                         "train = diffusion-stage training clips/s")
+                         "train = diffusion-stage training clips/s; "
+                         "rollout = long-form windowed synthesis with "
+                         "latent inpainting (windows/s)")
+    ap.add_argument("--parts", type=int, default=3,
+                    help="rollout mode: 128-frame parts per long clip "
+                         "(2*parts-1 half-overlapping windows)")
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard the batch over an N-device 'data' mesh "
                          "(params replicated); 0 = single device. "
@@ -94,6 +99,53 @@ def main():
 
     model = Convofusion(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
+
+    if args.mode == "rollout":
+        # long-form synthesis: 2*parts-1 half-overlapping 128-frame
+        # windows, previous half-window latents inpainted every step
+        # (cli/unbounded.rollout; reference unbounded_synthesis.py)
+        from convofusion_tpu.cli.unbounded import rollout
+        from convofusion_tpu.data.synthetic import synthetic_long_batch
+
+        if args.mesh:
+            print("# rollout mode benches the single-chip path; "
+                  "ignoring --mesh.", file=sys.stderr)
+        long_batch = synthetic_long_batch(0, args.batch,
+                                          n_parts=args.parts)
+        n_windows = 2 * args.parts - 1
+
+        t0 = time.time()
+        outs = rollout(model, params, long_batch, jax.random.PRNGKey(1),
+                       num_inference_steps=args.steps, verbose=False)
+        compile_s = time.time() - t0
+        assert len(outs) == n_windows
+        import numpy as np
+
+        assert all(np.isfinite(o).all() for o in outs), "non-finite output"
+
+        times = []
+        for i in range(args.iters):
+            t0 = time.time()
+            rollout(model, params, long_batch, jax.random.PRNGKey(2 + i),
+                    num_inference_steps=args.steps, verbose=False)
+            times.append(time.time() - t0)
+        best = min(times)
+        windows_per_sec = args.batch * n_windows / best
+        result = {
+            "metric": f"rollout_windows_per_sec_{args.steps}step",
+            "value": round(windows_per_sec, 2),
+            "unit": "windows/s/chip",
+            "vs_baseline": round(windows_per_sec / 50.0, 3),
+        }
+        print(json.dumps(result))
+        print(f"# ROLLOUT batch={args.batch} parts={args.parts} "
+              f"windows={n_windows} steps={args.steps} "
+              f"dtype={args.dtype} compile={compile_s:.1f}s "
+              f"best={best * 1e3:.1f}ms "
+              f"({best / n_windows * 1e3:.1f}ms/window) "
+              f"platform={jax.devices()[0].platform}", file=sys.stderr)
+        return
+
     raw = synthetic_raw_batch(0, args.batch)
     batch, _, _ = prepare_arrays(model, raw)
     batch = jax.tree_util.tree_map(jnp.asarray, batch)

@@ -68,7 +68,7 @@ def process_text(seg_batch, chunk_tstart: float, chunk_tend: float):
 
 def rollout(model, params, batch, key, window_frames: int = 128,
             num_inference_steps=None, weg_type: str = "no",
-            save_dir=None):
+            save_dir=None, verbose: bool = True):
     """Roll one long batch through half-overlapping windows.
 
     batch: the beatdnd_collate dict with long (B, n_parts*128, ...) arrays.
@@ -103,13 +103,17 @@ def rollout(model, params, batch, key, window_frames: int = 128,
     preseq = None
     prev = None
     uncond_cache = {}
-    # one compiled sampler per (mel length, focus on/off, preseq on/off):
-    # window shapes are static, so 2-3 compiles cover the whole rollout
-    compiled = {}
+    # one compiled sampler per (mel length, steps, focus on/off, preseq
+    # on/off): window shapes are static, so 2-3 compiles cover the whole
+    # rollout; the cache lives on the model so repeated rollout() calls
+    # (every batch of the CLI loop) reuse the executables
+    compiled = getattr(model, "_rollout_jit_cache", None)
+    if compiled is None:
+        compiled = model._rollout_jit_cache = {}
 
     def sample_window(arrays, k, focus, preseq_, uc):
-        key_fn = (arrays["melspec_lsn"].shape[1], focus is not None,
-                  preseq_ is not None)
+        key_fn = (arrays["melspec_lsn"].shape[1], num_inference_steps,
+                  focus is not None, preseq_ is not None)
         if key_fn not in compiled:
             compiled[key_fn] = jax.jit(
                 lambda p, a, kk, f, ps, c: model.sample(
@@ -165,8 +169,11 @@ def rollout(model, params, batch, key, window_frames: int = 128,
         # one frame shorter) and reuse across windows
         mel_frames = arrays["melspec_lsn"].shape[1]
         if uncond_cache.get(mel_frames) is None:
-            uncond_cache[mel_frames] = jax.jit(model.encode_uncond)(
-                params, arrays)
+            enc_unc = getattr(model, "_encode_uncond_jit", None)
+            if enc_unc is None:
+                enc_unc = model._encode_uncond_jit = jax.jit(
+                    model.encode_uncond)
+            uncond_cache[mel_frames] = enc_unc(params, arrays)
         key, k = jax.random.split(key)
         motion, latents, att = sample_window(
             arrays, k, focus, preseq, uncond_cache[mel_frames])
@@ -183,8 +190,9 @@ def rollout(model, params, batch, key, window_frames: int = 128,
         prev = motion[:, motion_len // 2:, :]
         outputs.append(motion)
 
-        print(f"window {chunk_idx + 1}/{n_iters}: "
-              f"{time.time() - t0:.2f}s")
+        if verbose:
+            print(f"window {chunk_idx + 1}/{n_iters}: "
+                  f"{time.time() - t0:.2f}s")
 
         if save_dir is not None:
             names = [f"{n}+{chunk_idx}" for n in batch["name"]]
