@@ -73,29 +73,19 @@ def main(argv=None):
         params = jax.device_put(params, NamedSharding(mesh, P()))
         logger.info(f"data-parallel sampling over {n_dev} devices")
 
-    # one compiled sampler per (batch geometry, focus on/off); the uncond
-    # branch is focus-independent -> one encode per geometry
-    _compiled_fn = {}
-    _uncond = {}
+    # compiled-sampler + per-geometry uncond cache (shared helper,
+    # models/convofusion.py:CachedSampler)
+    sampler = model.cached_sampler(num_inference_steps=num_steps,
+                                   capture_attention=capture)
 
     def sample_batch(arrays, k, focus):
-        geom = (arrays["lsn_ids"].shape, arrays["melspec_lsn"].shape)
         if data_sharding is not None and \
                 arrays["lsn_ids"].shape[0] % n_dev == 0:
             # the final loader batch can be ragged — shard only when it
             # divides the mesh (params stay replicated either way)
             arrays = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, data_sharding), arrays)
-        if geom not in _uncond:
-            _uncond[geom] = jax.jit(model.encode_uncond)(params, arrays)
-        key_fn = geom + (focus is not None,)
-        if key_fn not in _compiled_fn:
-            _compiled_fn[key_fn] = jax.jit(
-                lambda p, b, kk, f, c: model.sample(
-                    p, b, kk, num_inference_steps=num_steps,
-                    capture_attention=capture, focus=f, uncond_cache=c))
-        return _compiled_fn[key_fn](params, arrays, k, focus,
-                                    _uncond[geom])
+        return sampler(params, arrays, k, focus=focus)
 
     loader = datamodule.test_dataloader()
     times = []

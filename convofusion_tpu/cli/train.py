@@ -32,7 +32,10 @@ def main(argv=None):
     from convofusion_tpu.callback.progress import ProgressLogger
     from convofusion_tpu.train.trainer import Trainer
     from convofusion_tpu.utils.logger import create_logger
-    from convofusion_tpu.utils.metrics_logger import MetricsLogger
+    from convofusion_tpu.utils.metrics_logger import (
+        MetricsLogger,
+        aggregate_terms,
+    )
 
     cfg = parse_args("train", argv)
     from convofusion_tpu.utils.jaxsetup import setup_jax
@@ -85,26 +88,11 @@ def main(argv=None):
     save_every = int(cfg.LOGGER.SACE_CHECKPOINT_EPOCH)
     progress = ProgressLogger(logger)
 
-    def loss2logname(loss: str, split: str) -> str:
-        """Reference metric naming (losses/diffvae.py:223-229)."""
-        if loss == "total":
-            return f"{loss}/{split}"
-        loss_type, name = loss.split("_", 1)
-        return f"{loss_type}/{name}/{split}"
-
     def aggregate(term_dicts, split: str):
-        """Mean every loss term over the epoch (base.py:45-67)."""
-        if not term_dicts:
-            return {}
-        # one device->host transfer for the whole epoch's terms, not one
-        # blocking sync per term per step
-        host = jax.device_get(term_dicts)
-        keys = host[0].keys()
-        return {
-            loss2logname(k, split): float(
-                np.mean([float(d[k]) for d in host]))
-            for k in keys
-        }
+        """Epoch aggregation (utils/metrics_logger.aggregate_terms) after
+        one device->host transfer for the whole epoch's terms, not one
+        blocking sync per term per step."""
+        return aggregate_terms(jax.device_get(term_dicts), split)
 
     def prepare(batch):
         if cfg.TRAIN.STAGE == "vae":

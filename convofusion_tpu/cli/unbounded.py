@@ -26,6 +26,19 @@ import numpy as np
 
 UNCOND = "-" * 10
 
+# The reference rollout does NOT read cfg.model.weg_parameters —
+# diffusion_reverse_forecast hardcodes its own WEG constants
+# (unbounded_synthesis.py:83-88).  Unlike the regular sampler (where
+# scale_range is initialized once outside the loop and the in-loop
+# linspace reassignment collapses the decay, convofusion.py:395,436),
+# the forecast re-initializes scale_range=(1., 0.5) INSIDE the step
+# loop, so its step sizes follow the true linspace decay -> 'linspace'.
+ROLLOUT_WEG_PARAMETERS = dict(
+    scale_factor=100, scale_range=[1.0, 0.5],
+    thresholds={0: 0.05, 200: 0.4, 400: 0.6, 600: 0.8},
+    max_iter_to_alter=800, max_refinement_steps=300,
+    scale_schedule="linspace")
+
 
 def process_text(seg_batch, chunk_tstart: float, chunk_tend: float):
     """Window text from word segments (unbounded_synthesis.py:189-241):
@@ -78,15 +91,13 @@ def rollout(model, params, batch, key, window_frames: int = 128,
     from convofusion_tpu.models.results import save_generation_results
     from convofusion_tpu.models.tokenizer import focus_word_indices
 
-    if weg_type != "no":
-        # the reference rollout does NOT read cfg.model.weg_parameters —
-        # diffusion_reverse_forecast hardcodes its own WEG constants
-        # (unbounded_synthesis.py:83-88); replicate them here
-        model.weg_parameters = dict(
-            scale_factor=100, scale_range=[1.0, 0.5],
-            thresholds={0: 0.05, 200: 0.4, 400: 0.6, 600: 0.8},
-            max_iter_to_alter=800, max_refinement_steps=300,
-            scale_schedule="reference")
+    # compiled-sampler + uncond cache shared across windows, rollout
+    # calls and any other caller with the same settings; the WEG override
+    # (ROLLOUT_WEG_PARAMETERS) is threaded statically so the model's
+    # config-derived parameters are untouched
+    sampler = model.cached_sampler(
+        num_inference_steps=num_inference_steps,
+        weg_params=ROLLOUT_WEG_PARAMETERS if weg_type != "no" else None)
 
     motion_len = window_frames
     fps = model.cfg.DATASET.BEATDND.FPS
@@ -102,25 +113,6 @@ def rollout(model, params, batch, key, window_frames: int = 128,
 
     preseq = None
     prev = None
-    uncond_cache = {}
-    # one compiled sampler per (mel length, steps, focus on/off, preseq
-    # on/off): window shapes are static, so 2-3 compiles cover the whole
-    # rollout; the cache lives on the model so repeated rollout() calls
-    # (every batch of the CLI loop) reuse the executables
-    compiled = getattr(model, "_rollout_jit_cache", None)
-    if compiled is None:
-        compiled = model._rollout_jit_cache = {}
-
-    def sample_window(arrays, k, focus, preseq_, uc):
-        key_fn = (arrays["melspec_lsn"].shape[1], num_inference_steps,
-                  focus is not None, preseq_ is not None)
-        if key_fn not in compiled:
-            compiled[key_fn] = jax.jit(
-                lambda p, a, kk, f, ps, c: model.sample(
-                    p, a, kk, num_inference_steps=num_inference_steps,
-                    focus=f, preseq=ps, uncond_cache=c))
-        return compiled[key_fn](params, arrays, k, focus, preseq_, uc)
-
     outputs = []
     for chunk_idx in range(n_iters):
         t0 = time.time()
@@ -164,19 +156,9 @@ def rollout(model, params, batch, key, window_frames: int = 128,
             if fv.any():
                 focus = {"focus_idx": fi, "focus_valid": fv}
 
-        # the uncond branch depends only on the window geometry: encode it
-        # once per distinct melspec length (the final window's slice can be
-        # one frame shorter) and reuse across windows
-        mel_frames = arrays["melspec_lsn"].shape[1]
-        if uncond_cache.get(mel_frames) is None:
-            enc_unc = getattr(model, "_encode_uncond_jit", None)
-            if enc_unc is None:
-                enc_unc = model._encode_uncond_jit = jax.jit(
-                    model.encode_uncond)
-            uncond_cache[mel_frames] = enc_unc(params, arrays)
         key, k = jax.random.split(key)
-        motion, latents, att = sample_window(
-            arrays, k, focus, preseq, uncond_cache[mel_frames])
+        motion, latents, att = sampler(params, arrays, k, focus=focus,
+                                       preseq=preseq)
 
         # second half of the window's latent tokens feed the next window
         preseq = latents[:, latents.shape[1] // 2:, :]

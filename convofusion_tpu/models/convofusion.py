@@ -392,12 +392,18 @@ class Convofusion:
             att_mats=att if lambda_ga != 0.0 else None,
             lambda_guided_attention=lambda_ga)
         if lambda_latent != 0.0:
+            # with prior chunking active the latent term covers the main
+            # (conditional) chunk only, keeping the two terms disjoint —
+            # the reference has no defined semantics for the combination
+            # (its _diffusion_process crashes when both lambdas are
+            # nonzero: half-length drop_idxs index the full batch)
+            h = np_main.shape[0]
             pred_x0 = jax.vmap(
                 lambda mo, t, s: self.scheduler.pred_original_sample(
-                    mo, t, s))(noise_pred, timesteps, noisy)
-            weights = jnp.asarray(self.scheduler.betas)[timesteps]
+                    mo, t, s))(np_main, timesteps[:h], noisy[:h])
+            weights = jnp.asarray(self.scheduler.betas)[timesteps[:h]]
             losses = diffusion_losses(
-                np_main, tgt_main, self.predict_epsilon, pred_x0, z,
+                np_main, tgt_main, self.predict_epsilon, pred_x0, z[:h],
                 weights, lambda_latent, **kwargs)
         else:
             losses = diffusion_losses(np_main, tgt_main,
@@ -444,6 +450,7 @@ class Convofusion:
         capture_attention: str = "none",
         weg: Optional[Dict] = None,
         preseq: Optional[jnp.ndarray] = None,
+        weg_params: Optional[Dict] = None,
     ):
         """Reverse process as a lax.scan (convofusion.py:391-549).
 
@@ -508,7 +515,11 @@ class Convofusion:
 
         weg_enabled = weg is not None
         if weg_enabled:
-            wp = self.weg_parameters
+            # static (trace-time) override — used by the rollout, which
+            # replaces the config parameters with the reference's
+            # hardcoded forecast constants (unbounded_synthesis.py:83-88)
+            wp = (weg_params if weg_params is not None
+                  else self.weg_parameters)
             scale_factor = float(wp.get("scale_factor", 1000))
             lo, hi = wp.get("scale_range", [1.0, 0.5])
             schedule = str(wp.get("scale_schedule", "reference"))
@@ -675,6 +686,7 @@ class Convofusion:
         deterministic_cond=True,
         preseq: Optional[jnp.ndarray] = None,
         uncond_cache=None,
+        weg_params: Optional[Dict] = None,
     ):
         """End-to-end generation for a prepared array batch: encode
         conditions, run guided reverse diffusion, decode motion.
@@ -682,6 +694,8 @@ class Convofusion:
         ``focus``: optional dict(focus_idx, focus_valid) enabling WEG.
         ``uncond_cache``: optional (cond_unc, masks_unc) from
         :meth:`encode_uncond` to skip re-encoding the constant branch.
+        ``weg_params``: optional static override of
+        ``cfg.model.weg_parameters`` (see :meth:`diffusion_reverse`).
         Returns (motion (B, 128, nfeats), latents (B, 16, D), att_seq).
         """
         b = batch["lsn_ids"].shape[0]
@@ -714,13 +728,71 @@ class Convofusion:
 
         latents, att_seq = self.diffusion_reverse(
             params, cond_real, masks_real, cond_unc, masks_unc, key, b,
-            num_inference_steps, capture_attention, weg, preseq)
+            num_inference_steps, capture_attention, weg, preseq,
+            weg_params)
 
         # (B, 16, D) -> (2, B, 8, D) for the VAE decoder
         z = latents.reshape(b, self.n_chunks, 2, self.latent_dim)
         z = jnp.stack([z[:, :, 0], z[:, :, 1]], axis=0)
         motion = self.vae_decode(params, z)
         return motion, latents, att_seq
+
+    def cached_sampler(self, num_inference_steps=None,
+                       capture_attention: str = "none",
+                       weg_params: Optional[Dict] = None
+                       ) -> "CachedSampler":
+        """Persistent :class:`CachedSampler` for these static settings.
+
+        The cache lives on the model, so every caller with the same
+        settings — cli/test.py's batch loop, cli/unbounded.py's window
+        loop, serving code — shares the compiled executables and the
+        per-geometry uncond encodes."""
+        caches = getattr(self, "_sampler_caches", None)
+        if caches is None:
+            caches = self._sampler_caches = {}
+        key = (num_inference_steps, capture_attention, repr(weg_params))
+        if key not in caches:
+            caches[key] = CachedSampler(
+                self, num_inference_steps, capture_attention, weg_params)
+        return caches[key]
+
+
+class CachedSampler:
+    """Compiled-sampler + uncond-condition cache around
+    :meth:`Convofusion.sample`.
+
+    One jitted executable per (focus on/off, preseq on/off) — shape
+    changes retrace inside jax.jit's own cache — and one uncond encode
+    per batch geometry (the uncond branch depends only on shapes:
+    Convofusion.encode_uncond)."""
+
+    def __init__(self, model: Convofusion, num_inference_steps=None,
+                 capture_attention: str = "none",
+                 weg_params: Optional[Dict] = None):
+        self.model = model
+        self._fns = {}
+        self._uncond = {}
+        self._encode_uncond = jax.jit(model.encode_uncond)
+        self._static = dict(num_inference_steps=num_inference_steps,
+                            capture_attention=capture_attention,
+                            weg_params=weg_params)
+
+    def uncond_for(self, params, arrays):
+        geom = (arrays["lsn_id"].shape, arrays["melspec_lsn"].shape)
+        if geom not in self._uncond:
+            self._uncond[geom] = self._encode_uncond(params, arrays)
+        return self._uncond[geom]
+
+    def __call__(self, params, arrays, key, focus=None, preseq=None):
+        fn_key = (focus is not None, preseq is not None)
+        if fn_key not in self._fns:
+            static = dict(self._static)
+            self._fns[fn_key] = jax.jit(
+                lambda p, a, k, f, ps, c: self.model.sample(
+                    p, a, k, focus=f, preseq=ps, uncond_cache=c,
+                    **static))
+        return self._fns[fn_key](params, arrays, key, focus, preseq,
+                                 self.uncond_for(params, arrays))
 
 
 def gen_from_latent(model: Convofusion, params, latent, nframes=None):

@@ -14,6 +14,32 @@ import time
 from typing import Dict, Optional
 
 
+def loss2logname(loss: str, split: str) -> str:
+    """Reference metric naming (losses/diffvae.py:223-229)."""
+    if loss == "total":
+        return f"{loss}/{split}"
+    loss_type, name = loss.split("_", 1)
+    return f"{loss_type}/{name}/{split}"
+
+
+def aggregate_terms(term_dicts, split: str) -> Dict[str, float]:
+    """Mean every loss term over an epoch, skipping NaN steps like the
+    reference's epoch-end collection (base.py:54-55: ``if not
+    torch.isnan(value)``)."""
+    import numpy as np
+
+    if not term_dicts:
+        return {}
+    keys = term_dicts[0].keys()
+    out = {}
+    for k in keys:
+        vals = np.asarray([float(d[k]) for d in term_dicts])
+        finite = vals[np.isfinite(vals)]
+        out[loss2logname(k, split)] = float(
+            finite.mean() if finite.size else float("nan"))
+    return out
+
+
 class MetricsLogger:
     def __init__(self, exp_dir: str, name: str = "metrics",
                  enable_wandb: bool = False, wandb_project=None,

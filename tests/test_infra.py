@@ -63,3 +63,28 @@ def test_strip_and_reinject_text_model():
     restored = reinject_frozen_text_model(stripped, current)
     np.testing.assert_array_equal(
         restored["text_encoder"]["text_model"]["w"], np.ones(3))
+
+
+def test_aggregate_terms_skips_nan_steps():
+    """Epoch metric aggregation skips NaN steps like the reference's
+    epoch-end collection (base.py:54-55)."""
+    import numpy as np
+
+    from convofusion_tpu.utils.metrics_logger import (
+        aggregate_terms,
+        loss2logname,
+    )
+
+    terms = [
+        {"total": 1.0, "recon_loss": 2.0},
+        {"total": float("nan"), "recon_loss": 4.0},
+        {"total": 3.0, "recon_loss": float("nan")},
+    ]
+    out = aggregate_terms(terms, "train")
+    assert out[loss2logname("total", "train")] == 2.0
+    assert out[loss2logname("recon_loss", "train")] == 3.0
+
+    # all-NaN column stays NaN rather than crashing
+    out2 = aggregate_terms([{"x_loss": float("nan")}], "val")
+    assert np.isnan(out2[loss2logname("x_loss", "val")])
+    assert aggregate_terms([], "train") == {}

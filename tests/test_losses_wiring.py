@@ -134,3 +134,31 @@ def test_prior_loss_odd_batch_chunks_like_torch():
     loss, terms = model.train_diffusion_loss(
         params, batch, jax.random.PRNGKey(1))
     assert "prior_loss" in terms and np.isfinite(float(loss))
+
+
+def test_prior_plus_latent_restricts_latent_to_main_chunk():
+    """With BOTH lambdas nonzero the latent term must cover the main
+    (conditional) chunk only — the prior half is already consumed by
+    prior_loss.  (The reference crashes on this combination, so the
+    disjoint-chunks semantics is this framework's documented choice.)"""
+    model, params, batch = _model_and_batch(LAMBDA_PRIOR=0.5,
+                                            LAMBDA_LATENT=0.1)
+    key = jax.random.PRNGKey(3)
+    _, t1 = jax.jit(model.train_diffusion_loss)(params, batch, key)
+    assert {"inst_loss", "prior_loss", "latent_loss"} <= set(t1)
+    np.testing.assert_allclose(
+        float(t1["total"]),
+        float(t1["inst_loss"]) + 0.5 * float(t1["prior_loss"])
+        + 0.1 * float(t1["latent_loss"]), rtol=1e-5)
+
+    # perturbing ONLY the prior half's motion must leave the latent term
+    # untouched (it would change under full-batch latent accounting)
+    batch2 = dict(batch)
+    m = np.array(batch["motion_lsn"])
+    m[4:] += 1.0
+    batch2["motion_lsn"] = m
+    _, t2 = jax.jit(model.train_diffusion_loss)(params, batch2, key)
+    np.testing.assert_allclose(float(t1["latent_loss"]),
+                               float(t2["latent_loss"]), rtol=1e-6)
+    assert not np.isclose(float(t1["prior_loss"]),
+                          float(t2["prior_loss"]), rtol=1e-4)

@@ -129,13 +129,23 @@ def test_select_focus_words_modes():
 def test_rollout_weg_overrides_parameters_with_reference_hardcodes(
         monkeypatch):
     """The reference rollout hardcodes its WEG constants instead of
-    reading cfg.model.weg_parameters (unbounded_synthesis.py:83-88)."""
+    reading cfg.model.weg_parameters (unbounded_synthesis.py:83-88); the
+    override is threaded statically into sample() — the model's own
+    parameters must stay untouched.  Unlike the regular sampler's
+    collapsed schedule, the forecast re-creates scale_range inside the
+    loop, so the rollout uses the true 'linspace' decay."""
+    from convofusion_tpu.cli.unbounded import ROLLOUT_WEG_PARAMETERS
+
     cfg = tiny_config("diffusion")
     model = Convofusion(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
-    assert model.weg_parameters.get("scale_factor") != 100
+    cfg_params_before = dict(model.weg_parameters)
+    assert cfg_params_before.get("scale_factor") != 100
+
+    seen = []
 
     def fake_sample(params, arrays, k, **kw):
+        seen.append(kw.get("weg_params"))
         b = arrays["lsn_id"].shape[0]
         lat = jnp.zeros((b, 16, cfg.model.latent_dim[-1]))
         return jnp.zeros((b, 128, 189)), lat, {}
@@ -163,9 +173,13 @@ def test_rollout_weg_overrides_parameters_with_reference_hardcodes(
     }
     rollout(model, params, batch, jax.random.PRNGKey(6),
             num_inference_steps=2, weg_type="random")
-    wp = model.weg_parameters
+    assert seen and all(wp == ROLLOUT_WEG_PARAMETERS for wp in seen)
+    wp = ROLLOUT_WEG_PARAMETERS
     assert wp["scale_factor"] == 100
     assert wp["scale_range"] == [1.0, 0.5]
     assert wp["thresholds"] == {0: 0.05, 200: 0.4, 400: 0.6, 600: 0.8}
     assert wp["max_iter_to_alter"] == 800
     assert wp["max_refinement_steps"] == 300
+    assert wp["scale_schedule"] == "linspace"
+    # the model's config-derived parameters are untouched
+    assert model.weg_parameters == cfg_params_before
