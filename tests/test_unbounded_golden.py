@@ -216,3 +216,100 @@ def test_forecast_differs_from_plain_reverse(twins):
     assert not np.allclose(np.asarray(plain)[:, PRESEQ_LEN:],
                            np.asarray(inpainted)[:, PRESEQ_LEN:],
                            atol=1e-4)
+
+
+def test_forecast_weg_matches_torch(twins, unbounded, monkeypatch):
+    """WEG inside the rollout: the forecast hardcodes its own constants
+    (scale_factor 100, thresholds {0,200,400,600}, max_refinement 300)
+    and — unlike the regular sampler — re-creates scale_range INSIDE the
+    step loop, so step sizes follow the true linspace decay
+    (unbounded_synthesis.py:83-88).  Pins cli/unbounded's
+    ROLLOUT_WEG_PARAMETERS override end-to-end: text-only pass,
+    eot-normalized attention, in-loop latent updates, preseq inpainting,
+    all against the reference forecast executed with gradients."""
+    den_t, _, _, _, params = twins
+    import convofusion.models.modeltype.convofusion as refmod
+    from convofusion_tpu.cli.unbounded import ROLLOUT_WEG_PARAMETERS
+
+    cfg = tiny_config("diffusion")
+    cfg.model.scheduler["variant"] = "ddpm"
+    cfg.model.scheduler["num_inference_timesteps"] = NSTEPS
+    cfg.TPU.PALLAS_STEP = False
+    model = Convofusion(cfg)
+
+    b, t_txt = 1, 10
+    rng = np.random.default_rng(43)
+    shapes = {"spkemb": (b, 9, 64), "alsn": (b, 12, 64),
+              "tlsn": (b, t_txt, 64), "apb": (b, 8, 64),
+              "lsnemb": (b, 1, 64)}
+    cond_real = {k: rng.standard_normal(v).astype(np.float32) * 0.5
+                 for k, v in shapes.items()}
+    cond_unc = {k: rng.standard_normal(v).astype(np.float32) * 0.5
+                for k, v in shapes.items()}
+    pad_txt = np.zeros((b, t_txt), bool)
+    pad_txt[:, 8:] = True                  # first pad 8 -> eot 7
+    pad_spk = np.zeros((b, 9), bool)
+    masks_real = {"spkemb": pad_spk, "tlsn": pad_txt}
+    masks_unc = {"spkemb": pad_spk, "tlsn": np.zeros((b, t_txt), bool)}
+    preseq = rng.standard_normal(
+        (b, PRESEQ_LEN, LAT_D)).astype(np.float32) * 0.3
+
+    focus = [2, 4]                         # interior: smoothing agrees
+    cond_text = {s: (cond_real[s] if s == "tlsn" else cond_unc[s])
+                 for s in COND_STREAMS}
+    masks_text = {s: (masks_real[s] if s == "tlsn" else masks_unc[s])
+                  for s in ("spkemb", "tlsn")}
+    weg = dict(
+        cond_text={k: jnp.asarray(v) for k, v in cond_text.items()},
+        masks_text={k: jnp.asarray(v) for k, v in masks_text.items()},
+        focus_idx=jnp.asarray([focus], jnp.int32),
+        focus_valid=jnp.asarray([[1.0, 1.0]], jnp.float32),
+        eot_idx=jnp.asarray([7]))
+
+    key = jax.random.PRNGKey(47)
+    latents, _ = model.diffusion_reverse(
+        params,
+        {k: jnp.asarray(v) for k, v in cond_real.items()},
+        {k: jnp.asarray(v) for k, v in masks_real.items()},
+        {k: jnp.asarray(v) for k, v in cond_unc.items()},
+        {k: jnp.asarray(v) for k, v in masks_unc.items()},
+        key, b, num_inference_steps=NSTEPS, weg=weg,
+        preseq=jnp.asarray(preseq),
+        weg_params=ROLLOUT_WEG_PARAMETERS)
+
+    init_noise, step_noises = _jax_noise_sequence(
+        key, NSTEPS, (b, 16, LAT_D))
+    shim = ForecastSchedulerShim("ddpm", noise_queue=list(step_noises))
+    host = _ref_host(refmod, cfg, den_t, shim,
+                     float(cfg.model.guidance_scale))
+    host.noise_scheduler = shim
+
+    enc = [torch.from_numpy(np.concatenate(
+        [cond_real[s] if g in REF_KEEP[s] else cond_unc[s]
+         for g in range(7)], axis=0)) for s in COND_STREAMS]
+    cond_masks = {
+        s: torch.from_numpy(np.concatenate(
+            [masks_real[s] if g in REF_KEEP[s] else masks_unc[s]
+             for g in range(7)], axis=0))
+        for s in ("spkemb", "tlsn")}
+
+    calls = []
+
+    def fake_randn(*shape, **kw):
+        calls.append(shape)
+        return torch.from_numpy(init_noise.copy())
+
+    monkeypatch.setattr(torch, "randn", fake_randn)
+    try:
+        # WEG needs gradients: no torch.no_grad here
+        z_t, _ = unbounded.diffusion_reverse_forecast(
+            host, enc, lengths=[128] * b,
+            preseq=torch.from_numpy(preseq),
+            cond_masks=cond_masks, focus_indices=[focus])
+    finally:
+        monkeypatch.undo()
+    assert len(calls) == 1
+
+    np.testing.assert_allclose(
+        np.asarray(latents), z_t.detach().numpy().transpose(1, 0, 2),
+        rtol=1e-2, atol=1e-2)
