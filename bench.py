@@ -53,6 +53,8 @@ def main():
     ap.add_argument("--mfu", action="store_true",
                     help="also report FLOPs/clip and MFU from XLA "
                          "cost_analysis (stderr)")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="sampler scan unroll factor (TPU.SCAN_UNROLL)")
     ap.add_argument("--sampler", default="ddim",
                     choices=["ddim", "ddpm", "dpmpp_2m"],
                     help="reverse-process variant (dpmpp_2m = fast "
@@ -96,6 +98,7 @@ def main():
     for block in ("denoiser", "motion_vae", "text_encoder", "audio_encoder"):
         cfg.model[block].params["compute_dtype"] = args.dtype
     cfg.model.denoiser.params["fuse_streams"] = args.fused
+    cfg.TPU["SCAN_UNROLL"] = args.unroll
 
     model = Convofusion(cfg)
     params = model.init_params(jax.random.PRNGKey(0))

@@ -141,6 +141,11 @@ class Convofusion:
             # ops/pallas_step.py) — on by default, interpret mode off-TPU
             self.use_pallas_step = bool(
                 cfg.get("TPU", {}).get("PALLAS_STEP", True))
+            # sampler scan unroll factor: >1 lets XLA fuse across
+            # adjacent steps at the cost of compile time (perf knob,
+            # bench.py --unroll)
+            self.scan_unroll = int(
+                cfg.get("TPU", {}).get("SCAN_UNROLL", 1))
 
     # ------------------------------------------------------------ init params
     def init_params(self, key) -> Dict:
@@ -655,7 +660,8 @@ class Convofusion:
         steps = (jnp.arange(n_steps), ts, prev_ts)
         carry0 = (latents, k_loop, jnp.zeros_like(latents),
                   jnp.float32(0.0))
-        (latents, _, _, _), att_seq = jax.lax.scan(body, carry0, steps)
+        (latents, _, _, _), att_seq = jax.lax.scan(
+            body, carry0, steps, unroll=self.scan_unroll)
         return latents, att_seq
 
     def encode_uncond(self, params, batch):
