@@ -110,16 +110,26 @@ def main():
         from convofusion_tpu.cli.unbounded import rollout
         from convofusion_tpu.data.synthetic import synthetic_long_batch
 
+        n_chips_r, data_sharding = 1, None
         if args.mesh:
-            print("# rollout mode benches the single-chip path; "
-                  "ignoring --mesh.", file=sys.stderr)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from convofusion_tpu.parallel.mesh import create_mesh
+
+            n_chips_r = args.mesh
+            assert args.batch % n_chips_r == 0, "batch must divide mesh"
+            mesh = create_mesh(n_data=n_chips_r, n_model=1,
+                               devices=jax.devices()[:n_chips_r])
+            data_sharding = NamedSharding(mesh, P("data"))
+            params = jax.device_put(params, NamedSharding(mesh, P()))
         long_batch = synthetic_long_batch(0, args.batch,
                                           n_parts=args.parts)
         n_windows = 2 * args.parts - 1
 
         t0 = time.time()
         outs = rollout(model, params, long_batch, jax.random.PRNGKey(1),
-                       num_inference_steps=args.steps, verbose=False)
+                       num_inference_steps=args.steps, verbose=False,
+                       data_sharding=data_sharding)
         compile_s = time.time() - t0
         assert len(outs) == n_windows
         import numpy as np
@@ -130,10 +140,11 @@ def main():
         for i in range(args.iters):
             t0 = time.time()
             rollout(model, params, long_batch, jax.random.PRNGKey(2 + i),
-                    num_inference_steps=args.steps, verbose=False)
+                    num_inference_steps=args.steps, verbose=False,
+                    data_sharding=data_sharding)
             times.append(time.time() - t0)
         best = min(times)
-        windows_per_sec = args.batch * n_windows / best
+        windows_per_sec = args.batch * n_windows / best / n_chips_r
         result = {
             "metric": f"rollout_windows_per_sec_{args.steps}step",
             "value": round(windows_per_sec, 2),
@@ -146,6 +157,7 @@ def main():
               f"dtype={args.dtype} compile={compile_s:.1f}s "
               f"best={best * 1e3:.1f}ms "
               f"({best / n_windows * 1e3:.1f}ms/window) "
+              f"mesh={n_chips_r} "
               f"platform={jax.devices()[0].platform}", file=sys.stderr)
         return
 

@@ -81,10 +81,13 @@ def process_text(seg_batch, chunk_tstart: float, chunk_tend: float):
 
 def rollout(model, params, batch, key, window_frames: int = 128,
             num_inference_steps=None, weg_type: str = "no",
-            save_dir=None, verbose: bool = True):
+            save_dir=None, verbose: bool = True, data_sharding=None):
     """Roll one long batch through half-overlapping windows.
 
     batch: the beatdnd_collate dict with long (B, n_parts*128, ...) arrays.
+    ``data_sharding``: optional NamedSharding over the 'data' mesh axis —
+    window arrays are placed on it (params must already be replicated by
+    the caller), giving data-parallel long-form synthesis.
     Returns the stitched motion list [(B, 128, nfeats)] per window.
     """
     from convofusion_tpu.cli.focus import select_focus_words
@@ -136,6 +139,9 @@ def rollout(model, params, batch, key, window_frames: int = 128,
             "lsn_id": jnp.asarray(batch["lsn_id"]),
             **text_arrays,
         }
+        if data_sharding is not None:
+            arrays = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, data_sharding), arrays)
 
         # WEG focus words from the *non-overlapping* part of the window
         # (unbounded_synthesis.py:318-319)
@@ -155,6 +161,10 @@ def rollout(model, params, batch, key, window_frames: int = 128,
                                         focus_words)
             if fv.any():
                 focus = {"focus_idx": fi, "focus_valid": fv}
+                if data_sharding is not None:
+                    focus = {k2: jax.device_put(jnp.asarray(v),
+                                                data_sharding)
+                             for k2, v in focus.items()}
 
         key, k = jax.random.split(key)
         motion, latents, att = sampler(params, arrays, k, focus=focus,
@@ -234,11 +244,28 @@ def main(argv=None):
     weg_type = str(cfg.TRAIN.ABLATION.get("WEG_TYPE", "no"))
     num_steps = int(cfg.model.scheduler.get("num_inference_timesteps",
                                             1000))
+
+    # data-parallel rollout over all local chips when the batch divides
+    # the device count (params replicated, windows sharded over 'data')
+    n_dev = jax.local_device_count()
+    data_sharding = None
+    if n_dev > 1 and int(cfg.TEST.BATCH_SIZE) % n_dev == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from convofusion_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(n_data=n_dev, n_model=1)
+        data_sharding = NamedSharding(mesh, P("data"))
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        logger.info(f"data-parallel rollout over {n_dev} devices")
+
     for batch in datamodule.test_dataloader():
         key, k = jax.random.split(key)
+        sharding = (data_sharding if data_sharding is not None and
+                    len(batch["name"]) % n_dev == 0 else None)
         rollout(model, params, batch, k,
                 num_inference_steps=num_steps, weg_type=weg_type,
-                save_dir=out_dir)
+                save_dir=out_dir, data_sharding=sharding)
     print(f"results saved to {out_dir}")
     return out_dir
 
