@@ -16,6 +16,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -196,7 +197,9 @@ def main():
         opt = optax.adamw(7e-5)
         opt_state = opt.init(params)
 
-        @jax.jit
+        # donate params/opt-state like train/trainer.py's step — without
+        # donation XLA must double-buffer both trees
+        @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(p, o, k):
             (loss, _), grads = jax.value_and_grad(
                 model.train_diffusion_loss, has_aux=True)(p, batch, k)
