@@ -111,6 +111,10 @@ def main():
         from convofusion_tpu.cli.unbounded import rollout
         from convofusion_tpu.data.synthetic import synthetic_long_batch
 
+        if args.mfu:
+            print("# --mfu applies to sample/train modes only (the "
+                  "rollout re-enters cached executables); ignoring.",
+                  file=sys.stderr)
         n_chips_r, data_sharding = 1, None
         if args.mesh:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -118,6 +122,10 @@ def main():
             from convofusion_tpu.parallel.mesh import create_mesh
 
             n_chips_r = args.mesh
+            assert len(jax.devices()) >= n_chips_r, (
+                f"--mesh {n_chips_r} requested but only "
+                f"{len(jax.devices())} devices available (use "
+                "--host-devices for a virtual CPU mesh)")
             assert args.batch % n_chips_r == 0, "batch must divide mesh"
             mesh = create_mesh(n_data=n_chips_r, n_model=1,
                                devices=jax.devices()[:n_chips_r])
@@ -188,10 +196,6 @@ def main():
         params = jax.device_put(params, rep)
 
     if args.mode == "train":
-        if args.mfu:
-            print("# --mfu applies to sample mode only (the train step "
-                  "has no scan to correct for); ignoring.",
-                  file=sys.stderr)
         import optax
 
         opt = optax.adamw(7e-5)
@@ -230,6 +234,18 @@ def main():
         print(f"# TRAIN batch={args.batch} dtype={args.dtype} "
               f"compile={compile_s:.1f}s best={best * 1e3:.1f}ms "
               f"loss={float(loss):.4f}", file=sys.stderr)
+        if args.mfu and n_chips > 1:
+            print("# --mfu is single-chip-only (see sample mode note).",
+                  file=sys.stderr)
+        elif args.mfu:
+            # no scan in the train step, so whole-jit cost_analysis is
+            # the true per-step FLOP count (fwd + bwd + AdamW)
+            flops = _xla_flops(
+                train_step, (params, opt_state, jax.random.PRNGKey(1)))
+            if flops:
+                report_mfu(flops, args.batch, best, n_chips,
+                           jax.devices()[0].platform, args.dtype,
+                           note="train fwd+bwd+adamw")
         return
 
     sample = jax.jit(

@@ -247,16 +247,11 @@ def main(argv=None):
 
     # data-parallel rollout over all local chips when the batch divides
     # the device count (params replicated, windows sharded over 'data')
-    n_dev = jax.local_device_count()
-    data_sharding = None
-    if n_dev > 1 and int(cfg.TEST.BATCH_SIZE) % n_dev == 0:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+    from convofusion_tpu.parallel.mesh import local_data_parallel
 
-        from convofusion_tpu.parallel.mesh import create_mesh
-
-        mesh = create_mesh(n_data=n_dev, n_model=1)
-        data_sharding = NamedSharding(mesh, P("data"))
-        params = jax.device_put(params, NamedSharding(mesh, P()))
+    data_sharding, params, n_dev = local_data_parallel(
+        params, int(cfg.TEST.BATCH_SIZE))
+    if data_sharding is not None:
         logger.info(f"data-parallel rollout over {n_dev} devices")
 
     for batch in datamodule.test_dataloader():

@@ -77,3 +77,25 @@ def make_data_parallel_step(step_fn, mesh: Mesh, donate_argnums=()):
 def local_device_count(mesh: Optional[Mesh] = None) -> int:
     return len(mesh.devices.flatten()) if mesh is not None else \
         jax.local_device_count()
+
+
+def local_data_parallel(params, batch_size: int):
+    """Single-host data-parallel setup over all *local* chips.
+
+    The shared inference-CLI pattern (cli/test.py, cli/unbounded.py):
+    shard the batch over a 1-D 'data' mesh and replicate ``params``
+    when the configured batch size divides the local device count.
+    The mesh is built over ``jax.local_devices()`` — NOT the global
+    ``jax.devices()`` — so per-process (multi-host) entry points don't
+    try to address other hosts' chips.
+
+    Returns ``(data_sharding | None, params, n_local_devices)``;
+    sharding is None when data parallelism doesn't apply (single
+    device, or batch size not divisible).
+    """
+    devices = jax.local_devices()
+    n_dev = len(devices)
+    if n_dev <= 1 or batch_size % n_dev != 0:
+        return None, params, n_dev
+    mesh = create_mesh(n_data=n_dev, n_model=1, devices=devices)
+    return batch_sharding(mesh), replicate(params, mesh), n_dev

@@ -41,12 +41,18 @@ def test_sharded_train_step_matches_single_device():
                                rtol=1e-4, atol=1e-5)
 
 
-def test_sharded_sampling_runs():
+def test_sharded_sampling_matches_single_device():
+    """The cli/test.py production sharding (batch over 'data', params
+    replicated) must not change the generated motion vs one device."""
     cfg = tiny_config("diffusion")
     model = Convofusion(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     raw = synthetic_raw_batch(1, 8)
     batch, _, _ = prepare_arrays(model, raw)
+
+    fn = jax.jit(
+        lambda p, b, k: model.sample(p, b, k, num_inference_steps=3)[0])
+    plain = np.asarray(fn(params, batch, jax.random.PRNGKey(2)))
 
     mesh = create_mesh(n_data=8, n_model=1)
     data = NamedSharding(mesh, P("data"))
@@ -55,11 +61,11 @@ def test_sharded_sampling_runs():
         lambda x: jax.device_put(jnp.asarray(x), data), batch)
     params_r = jax.device_put(params, rep)
 
-    motion, latents, _ = jax.jit(
-        lambda p, b, k: model.sample(p, b, k, num_inference_steps=3))(
-        params_r, sharded_batch, jax.random.PRNGKey(2))
+    motion = fn(params_r, sharded_batch, jax.random.PRNGKey(2))
     assert motion.shape == (8, 128, 189)
-    assert np.isfinite(np.asarray(motion)).all()
+    # SPMD partitioning reorders reductions -> small fp32 noise
+    np.testing.assert_allclose(np.asarray(motion), plain,
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_sharded_rollout_matches_single_device():

@@ -16,6 +16,7 @@ empty ``models/tools/__init__.py`` — we alias the canonical
 ``word_excitation_guidance`` module onto the package, the fix the
 reference itself needs to run).
 """
+import contextlib
 import sys
 import types
 
@@ -104,9 +105,11 @@ class ForecastSchedulerShim(TorchSchedulerShim):
 
 def _torch_forecast(unbounded, refmod, cfg, den_t, variant, cond_real,
                     cond_unc, masks_real, masks_unc, init_noise,
-                    step_noises, preseq, monkeypatch):
+                    step_noises, preseq, monkeypatch, *,
+                    batch=B, focus_indices=(), no_grad=True):
     """Run the REAL reference diffusion_reverse_forecast with injected
-    noise (7-way guidance assembly as unbounded_synthesis.py:367-394)."""
+    noise (7-way guidance assembly as unbounded_synthesis.py:367-394).
+    ``no_grad=False`` for WEG runs, which need torch autograd."""
     shim = ForecastSchedulerShim(variant, noise_queue=list(step_noises))
     host = _ref_host(refmod, cfg, den_t, shim,
                      float(cfg.model.guidance_scale))
@@ -129,14 +132,15 @@ def _torch_forecast(unbounded, refmod, cfg, den_t, variant, cond_real,
 
     monkeypatch.setattr(torch, "randn", fake_randn)
     try:
-        with torch.no_grad():
+        with torch.no_grad() if no_grad else contextlib.nullcontext():
             z, att = unbounded.diffusion_reverse_forecast(
-                host, enc, lengths=[128] * B,
+                host, enc, lengths=[128] * batch,
                 preseq=torch.from_numpy(preseq),
-                cond_masks=cond_masks, focus_indices=[])
+                cond_masks=cond_masks,
+                focus_indices=list(focus_indices))
     finally:
         monkeypatch.undo()
-    assert len(calls) == 1 and calls[0][0] == (B, 16, LAT_D)
+    assert len(calls) == 1 and calls[0][0] == (batch, 16, LAT_D)
     return z, att
 
 
@@ -279,36 +283,11 @@ def test_forecast_weg_matches_torch(twins, unbounded, monkeypatch):
 
     init_noise, step_noises = _jax_noise_sequence(
         key, NSTEPS, (b, 16, LAT_D))
-    shim = ForecastSchedulerShim("ddpm", noise_queue=list(step_noises))
-    host = _ref_host(refmod, cfg, den_t, shim,
-                     float(cfg.model.guidance_scale))
-    host.noise_scheduler = shim
-
-    enc = [torch.from_numpy(np.concatenate(
-        [cond_real[s] if g in REF_KEEP[s] else cond_unc[s]
-         for g in range(7)], axis=0)) for s in COND_STREAMS]
-    cond_masks = {
-        s: torch.from_numpy(np.concatenate(
-            [masks_real[s] if g in REF_KEEP[s] else masks_unc[s]
-             for g in range(7)], axis=0))
-        for s in ("spkemb", "tlsn")}
-
-    calls = []
-
-    def fake_randn(*shape, **kw):
-        calls.append(shape)
-        return torch.from_numpy(init_noise.copy())
-
-    monkeypatch.setattr(torch, "randn", fake_randn)
-    try:
-        # WEG needs gradients: no torch.no_grad here
-        z_t, _ = unbounded.diffusion_reverse_forecast(
-            host, enc, lengths=[128] * b,
-            preseq=torch.from_numpy(preseq),
-            cond_masks=cond_masks, focus_indices=[focus])
-    finally:
-        monkeypatch.undo()
-    assert len(calls) == 1
+    # WEG needs gradients: no_grad=False
+    z_t, _ = _torch_forecast(
+        unbounded, refmod, cfg, den_t, "ddpm", cond_real, cond_unc,
+        masks_real, masks_unc, init_noise, step_noises, preseq,
+        monkeypatch, batch=b, focus_indices=[focus], no_grad=False)
 
     np.testing.assert_allclose(
         np.asarray(latents), z_t.detach().numpy().transpose(1, 0, 2),
