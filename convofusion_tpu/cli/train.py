@@ -108,15 +108,24 @@ def main(argv=None):
             **text_arrays,
         }
 
+    # background input pipeline: host collate/tokenize/device_put for
+    # batch N+1 overlaps the device's step N (train/prefetch.py)
+    from convofusion_tpu.train.prefetch import prefetch
+
+    prefetch_depth = int(cfg.get("TPU", {}).get("PREFETCH", 2))
+
+    def stage(batch):
+        return trainer.shard_batch(prepare(batch))
+
     val_fn = None
     for epoch in range(start_epoch, int(cfg.TRAIN.END_EPOCH)):
         loader = datamodule.train_dataloader(seed=epoch)
         term_dicts = []
         t0 = time.time()
-        for batch in loader:
+        for batch in prefetch(loader, stage, depth=prefetch_depth):
             key, k = jax.random.split(key)
             params, opt_state, loss, terms = step_fn(
-                params, opt_state, trainer.shard_batch(prepare(batch)), k)
+                params, opt_state, batch, k)
             term_dicts.append(terms)
         epoch_metrics = aggregate(term_dicts, "train")
         mean_loss = epoch_metrics.get("total/train", float("nan"))
@@ -133,9 +142,10 @@ def main(argv=None):
             if val_fn is None:
                 val_fn = jax.jit(trainer.loss_fn())
             val_terms = []
-            for vbatch in datamodule.val_dataloader():
+            for vbatch in prefetch(datamodule.val_dataloader(),
+                                   prepare, depth=prefetch_depth):
                 key, k = jax.random.split(key)
-                _, vterms = val_fn(params, prepare(vbatch), k)
+                _, vterms = val_fn(params, vbatch, k)
                 val_terms.append(vterms)
             val_metrics = aggregate(val_terms, "val")
             if val_metrics:
