@@ -14,6 +14,7 @@ weights load through ``convofusion_tpu.compat.torch_loader`` /
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -184,6 +185,12 @@ class T5TextEncoder(nn.Module):
             self.vocab_size, self.d_model, self.d_ff, self.num_layers,
             self.num_heads, self.d_kv, self.dropout, dtype=self.dtype,
             name="text_model")(input_ids, attention_mask, deterministic)
+        # the trunk is frozen (t5.py:35-37 sets requires_grad=False on
+        # every text_model param); stopping the gradient here both
+        # enforces that and lets XLA drop the trunk's backward residuals
+        # — without it a train step differentiates 12 T5 layers x 2
+        # (spk+lsn) for gradients the optimizer must discard
+        hidden = jax.lax.stop_gradient(hidden)
         emb = nn.Dense(self.latent_dim, dtype=self.dtype,
                        name="projection_1")(nn.relu(hidden))
         return emb, attention_mask

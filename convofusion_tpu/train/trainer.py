@@ -18,11 +18,42 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from convofusion_tpu.models.convofusion import Convofusion
 
 
-def make_optimizer(cfg) -> optax.GradientTransformation:
+def _param_labels(params, stage):
+    """'frozen' for subtrees the reference never optimizes, else
+    'trainable'.
+
+    torch optimizers skip params whose .grad is None, so the reference's
+    frozen modules — the T5 trunk (t5.py:35-37, every stage) and the VAE
+    in the diffusion stage (convofusion.py:78-82) — are never updated
+    *or weight-decayed*.  optax.adamw would decay zero-grad params, so
+    they must be masked out of the transform entirely.
+    """
+    frozen = [("text_encoder", "text_model")]
+    if stage == "diffusion":
+        frozen.append(("vae",))
+
+    def label(path, _):
+        keys = tuple(getattr(p, "key", None) for p in path)
+        return "frozen" if any(
+            keys[:len(f)] == f for f in frozen) else "trainable"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(cfg, stage=None) -> optax.GradientTransformation:
     if str(cfg.TRAIN.OPTIM.TYPE).lower() != "adamw":
         raise NotImplementedError(
             "Do not support other optimizer for now.")  # convofusion.py:111
-    return optax.adamw(float(cfg.TRAIN.OPTIM.LR))
+    # torch.optim.AdamW defaults (the reference passes only lr,
+    # convofusion.py:112-113): betas (0.9, 0.999), eps 1e-8, wd 1e-2
+    adamw = optax.adamw(
+        float(cfg.TRAIN.OPTIM.LR),
+        weight_decay=float(cfg.TRAIN.OPTIM.get("WEIGHT_DECAY", 1e-2)))
+    if stage is None:
+        return adamw
+    return optax.multi_transform(
+        {"trainable": adamw, "frozen": optax.set_to_zero()},
+        param_labels=lambda params: _param_labels(params, stage))
 
 
 class Trainer:
@@ -32,8 +63,8 @@ class Trainer:
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
-        self.optimizer = make_optimizer(cfg)
         self.stage = cfg.TRAIN.STAGE
+        self.optimizer = make_optimizer(cfg, stage=self.stage)
 
     def loss_fn(self) -> Callable:
         if self.stage == "vae":
