@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--parts", type=int, default=3,
                     help="rollout mode: 128-frame parts per long clip "
                          "(2*parts-1 half-overlapping windows)")
+    ap.add_argument("--cached-text", action="store_true",
+                    help="train mode: precompute the frozen T5 trunk "
+                         "activations (cli/train.py's "
+                         "TPU.CACHE_TEXT_TRUNK steady state) and time "
+                         "the cached-trunk step")
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard the batch over an N-device 'data' mesh "
                          "(params replicated); 0 = single device. "
@@ -198,6 +203,19 @@ def main():
     if args.mode == "train":
         import optax
 
+        if args.cached_text:
+            # steady state of cli/train.py's frozen-trunk cache: trunk
+            # activations are batch inputs, not in-step compute
+            trunk = jax.jit(model.encode_text_trunk)
+            batch = dict(batch)
+            batch["spk_trunk"] = trunk(params, batch["spk_ids"],
+                                       batch["spk_tmask"])
+            batch["lsn_trunk"] = trunk(params, batch["lsn_ids"],
+                                       batch["lsn_tmask"])
+            batch["uncond_trunk"] = trunk(params, batch["uncond_ids"],
+                                          batch["uncond_tmask"])
+            jax.block_until_ready(batch["uncond_trunk"])
+
         opt = optax.adamw(7e-5)
         opt_state = opt.init(params)
 
@@ -232,6 +250,7 @@ def main():
         }
         print(json.dumps(result))
         print(f"# TRAIN batch={args.batch} dtype={args.dtype} "
+              f"cached_text={args.cached_text} "
               f"compile={compile_s:.1f}s best={best * 1e3:.1f}ms "
               f"loss={float(loss):.4f}", file=sys.stderr)
         if args.mfu and n_chips > 1:
