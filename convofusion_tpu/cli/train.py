@@ -163,9 +163,14 @@ def main(argv=None):
     def stage(batch):
         return trainer.shard_batch(prepare(batch))
 
+    # multi-host: each process loads a disjoint stride of the epoch
+    # (DistributedSampler semantics); shard_batch assembles global arrays
+    host_shard = ((jax.process_index(), jax.process_count())
+                  if jax.process_count() > 1 else None)
+
     val_fn = None
     for epoch in range(start_epoch, int(cfg.TRAIN.END_EPOCH)):
-        loader = datamodule.train_dataloader(seed=epoch)
+        loader = datamodule.train_dataloader(seed=epoch, shard=host_shard)
         term_dicts = []
         t0 = time.time()
         for batch in prefetch(loader, stage, depth=prefetch_depth):

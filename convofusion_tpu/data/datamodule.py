@@ -25,28 +25,51 @@ from convofusion_tpu.utils.geometry import (
 
 
 class DataLoader:
-    """Host-side loader: shuffle/batch/collate over an indexable dataset."""
+    """Host-side loader: shuffle/batch/collate over an indexable dataset.
+
+    ``shard=(index, count)`` partitions the (identically shuffled) index
+    stream across hosts for multi-process SPMD — the per-host equivalent
+    of torch's DistributedSampler under Lightning DDP (train.py:115-127):
+    every host draws the same epoch permutation (same seed) and takes a
+    disjoint stride of it, so the union of all hosts' batches is the
+    epoch and ``batch_size`` stays the per-host size.
+    """
 
     def __init__(self, dataset, batch_size: int, collate_fn: Callable,
                  shuffle: bool = False, drop_last: bool = False,
-                 seed: int = 0):
+                 seed: int = 0, shard: Optional[tuple] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
+        self.shard = shard
+
+    def _indices(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        if self.shard is not None:
+            i, n = self.shard
+            idx = idx[i::n]
+        return idx
+
+    def _n_items(self):
+        n = len(self.dataset)
+        if self.shard is not None:
+            i, cnt = self.shard
+            n = (n - i + cnt - 1) // cnt
+        return n
 
     def __len__(self):
-        n = len(self.dataset)
+        n = self._n_items()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[dict]:
-        idx = np.arange(len(self.dataset))
-        if self.shuffle:
-            self.rng.shuffle(idx)
+        idx = self._indices()
         for i in range(len(self)):
             sel = idx[i * self.batch_size:(i + 1) * self.batch_size]
             yield self.collate_fn([self.dataset[int(j)] for j in sel])
@@ -99,11 +122,11 @@ class BEATDataModule:
             self._datasets[split] = self._make_dataset(split)
         return self._datasets[split]
 
-    def train_dataloader(self, seed: int = 0):
+    def train_dataloader(self, seed: int = 0, shard: Optional[tuple] = None):
         return DataLoader(self.dataset("train"),
                           int(self.cfg.TRAIN.BATCH_SIZE),
                           self.collate_fn, shuffle=True, drop_last=True,
-                          seed=seed)
+                          seed=seed, shard=shard)
 
     def val_dataloader(self):
         return DataLoader(self.dataset("val"),

@@ -107,6 +107,16 @@ class Trainer:
         if self.mesh is None:
             return batch
         data = NamedSharding(self.mesh, P("data"))
+        if jax.process_count() > 1:
+            # multi-host SPMD: each process holds its own per-host batch
+            # (the DataLoader's shard= stride); assemble the global array
+            # from the process-local shards — device_put of a "global"
+            # array is only valid single-controller
+            import numpy as np
+
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    data, np.asarray(x)), batch)
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(jnp.asarray(x), data), batch)
 

@@ -161,3 +161,36 @@ def test_get_datasets_end_to_end(fixture_roots):
     model = Convofusion(cfg)
     arrays, _, _ = prepare_arrays(model, batch)
     assert arrays["lsn_ids"].shape[0] == 2
+
+
+def test_dataloader_host_sharding_partitions_the_epoch():
+    """DataLoader(shard=(i, n)) must give every host a disjoint stride of
+    the same shuffled permutation whose union is the full epoch
+    (DistributedSampler semantics for the multi-host train loop)."""
+    from convofusion_tpu.data.datamodule import DataLoader
+
+    class Items:
+        def __len__(self):
+            return 23
+
+        def __getitem__(self, i):
+            return i
+
+    def collate(items):
+        return list(items)
+
+    full = [i for b in DataLoader(Items(), 4, collate, shuffle=True,
+                                  seed=3) for i in b]
+    shards = [
+        [i for b in DataLoader(Items(), 4, collate, shuffle=True, seed=3,
+                               shard=(r, 2)) for i in b]
+        for r in (0, 1)
+    ]
+    # same permutation, disjoint strides, union == epoch
+    assert not (set(shards[0]) & set(shards[1]))
+    assert sorted(shards[0] + shards[1]) == sorted(full) == list(range(23))
+    assert shards[0] == full[0::2] and shards[1] == full[1::2]
+
+    # drop_last sizing is per-shard
+    dl = DataLoader(Items(), 4, collate, drop_last=True, shard=(0, 2))
+    assert len(dl) == 3  # 12 of 23 items on host 0 -> 3 full batches
