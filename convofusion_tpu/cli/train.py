@@ -78,7 +78,10 @@ def main(argv=None):
     resume = latest_checkpoint(ckpt_dir) if cfg.TRAIN.RESUME else None
     if resume:
         logger.info(f"resuming from {resume}")
-        params, opt_state = load_checkpoint(resume, params)
+        params, restored_opt = load_checkpoint(
+            resume, params, opt_state_template=opt_state)
+        if restored_opt is not None:
+            opt_state = restored_opt
         start_epoch = int(os.path.basename(resume).split("=")[1]) + 1
     elif cfg.TRAIN.PRETRAINED_VAE and cfg.TRAIN.STAGE != "vae":
         logger.info(f"loading pretrained VAE {cfg.TRAIN.PRETRAINED_VAE}")

@@ -81,8 +81,24 @@ def save_checkpoint(ckpt_dir: str, step: int, params: Dict,
     return str(path)
 
 
-def load_checkpoint(path: str, current_params: Optional[Dict] = None):
-    tree = _checkpointer().restore(str(Path(path).absolute()))
+def load_checkpoint(path: str, current_params: Optional[Dict] = None,
+                    opt_state_template=None):
+    """Restore ``epoch=N``.
+
+    ``opt_state_template`` (e.g. ``optimizer.init(params)``) is required
+    to get a USABLE optimizer state back: optax states are typed pytrees
+    (NamedTuples, masked nodes) and a template-less orbax restore returns
+    plain dicts/lists that ``optimizer.update`` cannot traverse.
+    """
+    item = None
+    if opt_state_template is not None:
+        if current_params is None:
+            raise ValueError(
+                "opt_state_template needs current_params for the params "
+                "structure")
+        item = {"params": strip_frozen_text_model(current_params),
+                "opt_state": opt_state_template}
+    tree = _checkpointer().restore(str(Path(path).absolute()), item=item)
     params = tree["params"]
     if current_params is not None:
         params = reinject_frozen_text_model(params, current_params)

