@@ -205,16 +205,20 @@ def main():
 
         if args.cached_text:
             # steady state of cli/train.py's frozen-trunk cache: trunk
-            # activations are batch inputs, not in-step compute
+            # activations are batch inputs (ids are not shipped at all;
+            # the uncond row stays a single broadcastable entry)
             trunk = jax.jit(model.encode_text_trunk)
             batch = dict(batch)
             batch["spk_trunk"] = trunk(params, batch["spk_ids"],
                                        batch["spk_tmask"])
             batch["lsn_trunk"] = trunk(params, batch["lsn_ids"],
                                        batch["lsn_tmask"])
-            batch["uncond_trunk"] = trunk(params, batch["uncond_ids"],
-                                          batch["uncond_tmask"])
+            batch["uncond_trunk"] = trunk(params, batch["uncond_ids"][:1],
+                                          batch["uncond_tmask"][:1])
+            batch["uncond_tmask"] = batch["uncond_tmask"][:1]
             jax.block_until_ready(batch["uncond_trunk"])
+            for k in ("spk_ids", "lsn_ids", "uncond_ids"):
+                del batch[k]
 
         opt = optax.adamw(7e-5)
         opt_state = opt.init(params)

@@ -62,6 +62,20 @@ def main(argv=None):
         logger.info(f"data-parallel mesh over {n_dev} devices")
     else:
         mesh = None
+        if jax.process_count() > 1:
+            # without the global mesh there is no gradient all-reduce:
+            # every host would silently train its own divergent model on
+            # 1/n of the data and race on the checkpoint dir
+            raise ValueError(
+                f"multi-host training needs TRAIN.BATCH_SIZE divisible "
+                f"by the {n_dev} local devices (and >1 local device); "
+                f"got {cfg.TRAIN.BATCH_SIZE}")
+    if jax.process_count() > 1 and \
+            int(cfg.LOGGER.get("VAL_EVERY_STEPS", 0) or 0) and \
+            int(cfg.EVAL.BATCH_SIZE) % n_dev != 0:
+        raise ValueError(
+            f"multi-host validation needs EVAL.BATCH_SIZE divisible by "
+            f"the {n_dev} local devices; got {cfg.EVAL.BATCH_SIZE}")
         if n_dev > 1:
             logger.warning(
                 f"batch size {cfg.TRAIN.BATCH_SIZE} not divisible by "
@@ -123,38 +137,42 @@ def main(argv=None):
                               jnp.asarray(tb.attention_mask))
             return np.asarray(trunk), np.asarray(tb.attention_mask)
 
-        def add_trunks(arrays, texts_spk, texts_lsn):
-            pad = model.text_pad_len
-            spk_t, _ = tcache.encode_batch(
-                list(texts_spk), pad, _encode_missing)
-            lsn_t, _ = tcache.encode_batch(
-                list(texts_lsn), pad, _encode_missing)
-            unc_t, _ = tcache.encode_batch(
-                [UNCOND_TEXT], pad, _encode_missing)
-            arrays["spk_trunk"] = jnp.asarray(spk_t)
-            arrays["lsn_trunk"] = jnp.asarray(lsn_t)
-            arrays["uncond_trunk"] = jnp.asarray(np.broadcast_to(
-                unc_t, (lsn_t.shape[0],) + unc_t.shape[1:]))
-            return arrays
-
         logger.info("frozen-T5 trunk cache enabled (TPU.CACHE_TEXT_TRUNK)")
+
+    # multi-host: keep batches as host numpy until shard_batch assembles
+    # the global arrays — jnp.asarray here would stage onto the local
+    # device only to be pulled back for make_array_from_process_local_data
+    multihost = jax.process_count() > 1
+    to_dev = np.asarray if multihost else jnp.asarray
 
     def prepare(batch):
         if cfg.TRAIN.STAGE == "vae":
-            return {"motion": jnp.asarray(batch["motion"])}
-        text_arrays, _, _ = model.prepare_text_batch(
-            batch["text_spk"], batch["text_lsn"])
+            return {"motion": to_dev(batch["motion"])}
         arrays = {
-            "motion_lsn": jnp.asarray(batch["motion_lsn"]),
-            "melspec_lsn": jnp.asarray(batch["melspec_lsn"]),
-            "active_passive_lsn": jnp.asarray(
-                batch["active_passive_lsn"]),
-            "lsn_id": jnp.asarray(batch["lsn_id"]),
-            **text_arrays,
+            "motion_lsn": to_dev(batch["motion_lsn"]),
+            "melspec_lsn": to_dev(batch["melspec_lsn"]),
+            "active_passive_lsn": to_dev(batch["active_passive_lsn"]),
+            "lsn_id": to_dev(batch["lsn_id"]),
         }
         if use_trunk_cache:
-            arrays = add_trunks(arrays, batch["text_spk"],
-                                batch["text_lsn"])
+            # the cache carries its own masks — no per-batch tokenizer
+            # run and no unused id arrays shipped to the device; the
+            # uncond row stays (1, T, D), broadcast inside the step
+            pad = model.text_pad_len
+            spk_t, spk_m = tcache.encode_batch(
+                list(batch["text_spk"]), pad, _encode_missing)
+            lsn_t, lsn_m = tcache.encode_batch(
+                list(batch["text_lsn"]), pad, _encode_missing)
+            unc_t, unc_m = tcache.encode_batch(
+                [UNCOND_TEXT], pad, _encode_missing)
+            arrays.update(
+                spk_trunk=to_dev(spk_t), spk_tmask=to_dev(spk_m),
+                lsn_trunk=to_dev(lsn_t), lsn_tmask=to_dev(lsn_m),
+                uncond_trunk=to_dev(unc_t), uncond_tmask=to_dev(unc_m))
+        else:
+            text_arrays, _, _ = model.prepare_text_batch(
+                batch["text_spk"], batch["text_lsn"])
+            arrays.update(text_arrays)
         return arrays
 
     # background input pipeline: host collate/tokenize/device_put for
@@ -195,9 +213,16 @@ def main(argv=None):
         if val_every and (epoch + 1) % val_every == 0:
             if val_fn is None:
                 val_fn = jax.jit(trainer.loss_fn())
+            # multi-host: val batches must be host-sharded and assembled
+            # into global arrays like train batches (full batches only —
+            # a ragged global batch can't shard over the device mesh);
+            # single-host keeps the replicated-batch val of the reference
+            val_loader = datamodule.val_dataloader(
+                shard=host_shard, drop_last=multihost)
+            val_stage = stage if multihost else prepare
             val_terms = []
-            for vbatch in prefetch(datamodule.val_dataloader(),
-                                   prepare, depth=prefetch_depth):
+            for vbatch in prefetch(val_loader, val_stage,
+                                   depth=prefetch_depth):
                 key, k = jax.random.split(key)
                 _, vterms = val_fn(params, vbatch, k)
                 val_terms.append(vterms)

@@ -52,14 +52,22 @@ class DataLoader:
             self.rng.shuffle(idx)
         if self.shard is not None:
             i, n = self.shard
+            # pad the permutation to a multiple of n (wrap-around, like
+            # torch DistributedSampler) so every host gets the SAME item
+            # count — unequal counts would leave hosts executing
+            # different numbers of collective steps, which deadlocks
+            per_host = -(-len(idx) // n)
+            if len(idx) < per_host * n:
+                idx = np.concatenate(
+                    [idx, idx[:per_host * n - len(idx)]])
             idx = idx[i::n]
         return idx
 
     def _n_items(self):
         n = len(self.dataset)
         if self.shard is not None:
-            i, cnt = self.shard
-            n = (n - i + cnt - 1) // cnt
+            _, cnt = self.shard
+            n = -(-n // cnt)  # padded per-host count, equal on all hosts
         return n
 
     def __len__(self):
@@ -128,9 +136,11 @@ class BEATDataModule:
                           self.collate_fn, shuffle=True, drop_last=True,
                           seed=seed, shard=shard)
 
-    def val_dataloader(self):
+    def val_dataloader(self, shard: Optional[tuple] = None,
+                       drop_last: bool = False):
         return DataLoader(self.dataset("val"),
-                          int(self.cfg.EVAL.BATCH_SIZE), self.collate_fn)
+                          int(self.cfg.EVAL.BATCH_SIZE), self.collate_fn,
+                          drop_last=drop_last, shard=shard)
 
     def test_dataloader(self, seed: int = 0):
         # NB the reference shuffles the test loader too (data/base.py:119)

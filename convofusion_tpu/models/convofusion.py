@@ -351,8 +351,12 @@ class Convofusion:
         return group
 
     def apply_modality_dropout(self, key, batch):
-        """Substitute uncond values per dropped modality (on device)."""
-        b = batch["lsn_ids"].shape[0]
+        """Substitute uncond values per dropped modality (on device).
+
+        Works on either batch layout: token ids (``lsn_ids``/``spk_ids``)
+        or cached trunk activations (``lsn_trunk``/``spk_trunk``) — the
+        uncond rows may be a single broadcastable (1, ...) entry."""
+        b = batch["lsn_tmask"].shape[0]
         group = self._dropout_groups(key, b)
 
         def keep(stream):
@@ -364,13 +368,14 @@ class Convofusion:
 
         out = dict(batch)
         k_t = keep("tlsn")[:, None]
-        out["lsn_ids"] = jnp.where(k_t, batch["lsn_ids"],
-                                   batch["uncond_ids"])
+        k_s = keep("spkemb")[:, None]
+        if "lsn_ids" in batch:
+            out["lsn_ids"] = jnp.where(k_t, batch["lsn_ids"],
+                                       batch["uncond_ids"])
+            out["spk_ids"] = jnp.where(k_s, batch["spk_ids"],
+                                       batch["uncond_ids"])
         out["lsn_tmask"] = jnp.where(k_t, batch["lsn_tmask"],
                                      batch["uncond_tmask"])
-        k_s = keep("spkemb")[:, None]
-        out["spk_ids"] = jnp.where(k_s, batch["spk_ids"],
-                                   batch["uncond_ids"])
         out["spk_tmask"] = jnp.where(k_s, batch["spk_tmask"],
                                      batch["uncond_tmask"])
         k_a = keep("alsn")[:, None, None]

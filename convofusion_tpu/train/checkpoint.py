@@ -98,7 +98,22 @@ def load_checkpoint(path: str, current_params: Optional[Dict] = None,
                 "structure")
         item = {"params": strip_frozen_text_model(current_params),
                 "opt_state": opt_state_template}
-    tree = _checkpointer().restore(str(Path(path).absolute()), item=item)
+    try:
+        tree = _checkpointer().restore(str(Path(path).absolute()),
+                                       item=item)
+    except Exception:
+        if item is None:
+            raise
+        # checkpoint written under a different optimizer structure (e.g.
+        # pre-freeze-masking runs): restore params only; the caller keeps
+        # a fresh optimizer state (momentum is lost, training continues)
+        import warnings
+
+        warnings.warn(
+            f"optimizer state in {path} does not match the current "
+            "optimizer structure; resuming with params only")
+        tree = _checkpointer().restore(str(Path(path).absolute()))
+        tree["opt_state"] = None
     params = tree["params"]
     if current_params is not None:
         params = reinject_frozen_text_model(params, current_params)

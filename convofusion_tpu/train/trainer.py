@@ -107,6 +107,13 @@ class Trainer:
         if self.mesh is None:
             return batch
         data = NamedSharding(self.mesh, P("data"))
+        rep = NamedSharding(self.mesh, P())
+
+        def spec(x):
+            # leading-dim-1 leaves are broadcastable constants (e.g. the
+            # cached uncond trunk row) — replicate instead of sharding
+            return rep if getattr(x, "shape", ())[:1] == (1,) else data
+
         if jax.process_count() > 1:
             # multi-host SPMD: each process holds its own per-host batch
             # (the DataLoader's shard= stride); assemble the global array
@@ -116,9 +123,9 @@ class Trainer:
 
             return jax.tree_util.tree_map(
                 lambda x: jax.make_array_from_process_local_data(
-                    data, np.asarray(x)), batch)
+                    spec(x), np.asarray(x)), batch)
         return jax.tree_util.tree_map(
-            lambda x: jax.device_put(jnp.asarray(x), data), batch)
+            lambda x: jax.device_put(jnp.asarray(x), spec(x)), batch)
 
     def fit_steps(self, params, opt_state, batches, key,
                   log_every: int = 10) -> Tuple[Dict, Dict, list]:

@@ -186,11 +186,15 @@ def test_dataloader_host_sharding_partitions_the_epoch():
                                shard=(r, 2)) for i in b]
         for r in (0, 1)
     ]
-    # same permutation, disjoint strides, union == epoch
-    assert not (set(shards[0]) & set(shards[1]))
-    assert sorted(shards[0] + shards[1]) == sorted(full) == list(range(23))
-    assert shards[0] == full[0::2] and shards[1] == full[1::2]
+    # every host gets the SAME padded count (unequal counts would leave
+    # hosts running different numbers of collective steps -> deadlock)
+    assert len(shards[0]) == len(shards[1]) == 12
+    # union covers the epoch; overlap is only the wrap-around padding
+    assert set(shards[0]) | set(shards[1]) == set(range(23))
+    padded = full + full[:1]
+    assert shards[0] == padded[0::2] and shards[1] == padded[1::2]
 
-    # drop_last sizing is per-shard
-    dl = DataLoader(Items(), 4, collate, drop_last=True, shard=(0, 2))
-    assert len(dl) == 3  # 12 of 23 items on host 0 -> 3 full batches
+    # drop_last sizing is per-shard and equal across hosts
+    for r in (0, 1):
+        dl = DataLoader(Items(), 4, collate, drop_last=True, shard=(r, 2))
+        assert len(dl) == 3  # 12 padded items per host -> 3 full batches

@@ -133,3 +133,36 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     leaves_saved = jax.tree_util.tree_leaves(opt_state)
     leaves_restored = jax.tree_util.tree_leaves(o2)
     assert len(leaves_saved) == len(leaves_restored)
+
+
+def test_checkpoint_resume_mismatched_opt_state_falls_back(tmp_path):
+    """Checkpoints written under a different optimizer structure must
+    still resume (params only, fresh optimizer state) with a warning."""
+    import warnings
+
+    import jax
+    import optax
+
+    from convofusion_tpu.config.testing import tiny_config
+    from convofusion_tpu.models.convofusion import Convofusion
+    from convofusion_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from convofusion_tpu.train.trainer import Trainer
+
+    cfg = tiny_config("diffusion")
+    model = Convofusion(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    old_opt_state = optax.adamw(1e-4).init(params)  # pre-masking format
+    path = save_checkpoint(str(tmp_path), 3, params, old_opt_state)
+
+    trainer = Trainer(model, cfg, mesh=None)
+    _, new_template = trainer.init_state(jax.random.PRNGKey(0))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        p2, o2 = load_checkpoint(path, params,
+                                 opt_state_template=new_template)
+    assert o2 is None
+    assert any("does not match" in str(w.message) for w in caught)
+    assert set(p2) == set(params)

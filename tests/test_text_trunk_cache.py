@@ -62,7 +62,9 @@ def test_precomputed_trunk_loss_and_grads_match_ids_path():
         g_pre["text_encoder"]["text_model"])) == 0.0
 
 
-def test_trainer_step_accepts_trunk_batches():
+def test_trainer_step_accepts_production_trunk_layout():
+    """The cli/train.py steady-state layout: no id arrays at all, the
+    uncond trunk/mask as single broadcastable (1, ...) rows."""
     cfg = tiny_config("diffusion")
     model = Convofusion(cfg)
     trainer = Trainer(model, cfg, mesh=None)
@@ -70,7 +72,32 @@ def test_trainer_step_accepts_trunk_batches():
     raw = synthetic_raw_batch(5, 4)
     batch, _, _ = prepare_arrays(model, raw)
     batch = _trunk_batch(model, params, batch)
+    batch["uncond_trunk"] = batch["uncond_trunk"][:1]
+    batch["uncond_tmask"] = batch["uncond_tmask"][:1]
+    for k in ("spk_ids", "lsn_ids", "uncond_ids"):
+        del batch[k]
     step = trainer.make_train_step()
     params, opt_state, loss, _ = step(params, opt_state, batch,
                                       jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
+
+
+def test_one_row_uncond_matches_full_rows():
+    """The (1, T, D) uncond row must give the same loss as B tiled rows
+    (it broadcasts inside the modality-dropout where)."""
+    cfg = tiny_config("diffusion")
+    model = Convofusion(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    raw = synthetic_raw_batch(9, 4)
+    batch, _, _ = prepare_arrays(model, raw)
+    full = _trunk_batch(model, params, batch)
+    key = jax.random.PRNGKey(11)
+    l_full = float(model.train_diffusion_loss(params, full, key)[0])
+
+    slim = dict(full)
+    slim["uncond_trunk"] = slim["uncond_trunk"][:1]
+    slim["uncond_tmask"] = slim["uncond_tmask"][:1]
+    for k in ("spk_ids", "lsn_ids", "uncond_ids"):
+        del slim[k]
+    l_slim = float(model.train_diffusion_loss(params, slim, key)[0])
+    np.testing.assert_allclose(l_full, l_slim, rtol=1e-6, atol=1e-6)
