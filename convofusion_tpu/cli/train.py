@@ -70,16 +70,16 @@ def main(argv=None):
                 f"multi-host training needs TRAIN.BATCH_SIZE divisible "
                 f"by the {n_dev} local devices (and >1 local device); "
                 f"got {cfg.TRAIN.BATCH_SIZE}")
+        if n_dev > 1:
+            logger.warning(
+                f"batch size {cfg.TRAIN.BATCH_SIZE} not divisible by "
+                f"{n_dev} devices; running single-device")
     if jax.process_count() > 1 and \
             int(cfg.LOGGER.get("VAL_EVERY_STEPS", 0) or 0) and \
             int(cfg.EVAL.BATCH_SIZE) % n_dev != 0:
         raise ValueError(
             f"multi-host validation needs EVAL.BATCH_SIZE divisible by "
             f"the {n_dev} local devices; got {cfg.EVAL.BATCH_SIZE}")
-        if n_dev > 1:
-            logger.warning(
-                f"batch size {cfg.TRAIN.BATCH_SIZE} not divisible by "
-                f"{n_dev} devices; running single-device")
 
     trainer = Trainer(model, cfg, mesh=mesh)
     key = jax.random.PRNGKey(int(cfg.SEED_VALUE))
