@@ -485,15 +485,23 @@ class Convofusion:
     # ------------------------------------------------------------- sampling
     def assemble_guidance_cond(self, cond_real, masks_real, cond_unc,
                                masks_unc):
-        """Stack the 7 guidance branches into a (7B, ...) condition set."""
+        """Stack the 7 guidance branches into a (7B, ...) condition set.
+
+        The uncond entries may be single broadcastable rows (see
+        :meth:`encode_uncond`) — they are tiled to the real batch here."""
+        def unc(u, r):
+            return jnp.broadcast_to(u, r.shape[:1] + u.shape[1:])
+
         cond7, masks7 = {}, {}
         for s in cond_real:
             rows = [cond_real[s] if s in GUIDANCE_BRANCHES[g] else
-                    cond_unc[s] for g in range(NUM_BRANCHES)]
+                    unc(cond_unc[s], cond_real[s])
+                    for g in range(NUM_BRANCHES)]
             cond7[s] = jnp.concatenate(rows, axis=0)
         for s in masks_real:
             rows = [masks_real[s] if s in GUIDANCE_BRANCHES[g] else
-                    masks_unc[s] for g in range(NUM_BRANCHES)]
+                    unc(masks_unc[s], masks_real[s])
+                    for g in range(NUM_BRANCHES)]
             masks7[s] = jnp.concatenate(rows, axis=0)
         return cond7, masks7
 
@@ -732,21 +740,24 @@ class Convofusion:
         return latents, att_seq
 
     def encode_uncond(self, params, batch):
-        """Unconditional branch conditions for ``batch``'s shapes.
+        """Unconditional branch conditions as SINGLE broadcastable rows.
 
-        The uncond rows are constant given the batch geometry (fixed
-        uncond token ids, −90 dB mel, apb=2, lsn_id=0), so callers that
-        sample repeatedly — the windowed rollout, serving loops — can
-        compute this ONCE and pass it to :meth:`sample` as
-        ``uncond_cache``, skipping one full T5/audio/fuser encode per
-        call."""
+        Every uncond row is identical (fixed uncond token ids, −90 dB
+        mel, apb=2, lsn_id=0), so the branch is encoded at batch 1 and
+        broadcast where needed — and inside the sampling scan the
+        guided path keeps its per-layer LayerNorm+K/V at batch 1 too
+        (ops/attention.grouped_attend shared-KV case), cutting the
+        uncond half of the dominant memory-side projection FLOPs to
+        1/B.  Callers that sample repeatedly — the windowed rollout,
+        serving loops — can compute this ONCE and pass it to
+        :meth:`sample` as ``uncond_cache``."""
+        mel = batch["melspec_lsn"]
         return self.encode_conditions(
-            params, batch["uncond_ids"], batch["uncond_tmask"],
-            batch["uncond_ids"], batch["uncond_tmask"],
-            uncond_melspec(batch["melspec_lsn"].shape,
-                           batch["melspec_lsn"].dtype),
-            jnp.full_like(batch["active_passive_lsn"], 2),
-            jnp.zeros_like(batch["lsn_id"]))
+            params, batch["uncond_ids"][:1], batch["uncond_tmask"][:1],
+            batch["uncond_ids"][:1], batch["uncond_tmask"][:1],
+            uncond_melspec((1,) + mel.shape[1:], mel.dtype),
+            jnp.full_like(batch["active_passive_lsn"][:1], 2),
+            jnp.zeros_like(batch["lsn_id"][:1]))
 
     def sample(
         self,

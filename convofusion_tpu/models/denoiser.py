@@ -202,7 +202,14 @@ class Denoiser(nn.Module):
         x7 = jnp.broadcast_to(x[None], (NUM_BRANCHES,) + x.shape)
 
         mem_real = self._build_memory(cond_real, time_emb)
-        mem_unc = self._build_memory(cond_unc, time_emb)
+        # single-row uncond conditions (encode_uncond) keep the uncond
+        # memory at batch 1 through LayerNorm + K/V when the timestep is
+        # shared (the sampling scan's scalar t); grouped_attend
+        # broadcasts the shared keys/values against the real batch
+        shared_unc = (jnp.ndim(timesteps) == 0 and b != 1 and all(
+            v.shape[0] == 1 for v in cond_unc.values()))
+        mem_unc = self._build_memory(
+            cond_unc, time_emb[:1] if shared_unc else time_emb)
         out7, att_mats = self.decoder.guided(
             x7, mem_real, mem_unc, time_emb, masks_real, masks_unc,
             REAL_BRANCHES, deterministic)

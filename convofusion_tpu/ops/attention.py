@@ -106,14 +106,25 @@ class MultiheadAttention(nn.Module):
                        key_padding_mask=None):
         """q_group (G, B, Tq, D) — G guidance branches sharing (B, Tk, D)
         keys/values.  Single-head.  Returns (out (G,B,Tq,D),
-        weights (G,B,Tq,Tk))."""
+        weights (G,B,Tq,Tk)).
+
+        ``k``/``v`` may be single shared rows (1, Tk, D) — the uncond
+        variant's rows are identical across the batch, so its
+        projections run at batch 1 and broadcast here."""
         assert self.num_heads == 1
-        logits = jnp.einsum("gbqd,bkd->gbqk", q_group, k) / jnp.sqrt(
-            jnp.asarray(self.d_model, q_group.dtype))
+        scale = jnp.sqrt(jnp.asarray(self.d_model, q_group.dtype))
+        shared_kv = k.shape[0] == 1 and q_group.shape[1] != 1
+        if shared_kv:
+            logits = jnp.einsum("gbqd,kd->gbqk", q_group, k[0]) / scale
+        else:
+            logits = jnp.einsum("gbqd,bkd->gbqk", q_group, k) / scale
         if key_padding_mask is not None:
             logits = jnp.where(
                 key_padding_mask[None, :, None, :], _BIG_NEG, logits)
         weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
             self.dtype)
-        out = jnp.einsum("gbqk,bkd->gbqd", weights, v)
+        if shared_kv:
+            out = jnp.einsum("gbqk,kd->gbqd", weights, v[0])
+        else:
+            out = jnp.einsum("gbqk,bkd->gbqd", weights, v)
         return out, weights

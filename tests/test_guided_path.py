@@ -69,3 +69,50 @@ def test_guided_matches_tiled_assembly():
         np.testing.assert_allclose(
             np.asarray(att_g[s]), np.asarray(att_ref[s][-bs:]),
             rtol=2e-4, atol=2e-4)
+
+
+def test_single_row_uncond_matches_tiled_uncond():
+    """encode_uncond now returns (1, ...) broadcastable rows; the guided
+    sampler must produce the same latents as with the rows tiled to B
+    (shared-KV case in ops/attention.grouped_attend)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convofusion_tpu.config.testing import tiny_config
+    from convofusion_tpu.data.synthetic import (
+        prepare_arrays,
+        synthetic_raw_batch,
+    )
+    from convofusion_tpu.models.convofusion import Convofusion
+
+    cfg = tiny_config("diffusion")
+    cfg.model.scheduler["num_inference_timesteps"] = 4
+    model = Convofusion(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    raw = synthetic_raw_batch(2, 4)
+    batch, _, _ = prepare_arrays(model, raw)
+    b = batch["lsn_ids"].shape[0]
+
+    cond_real, masks_real = model.encode_conditions(
+        params, batch["spk_ids"], batch["spk_tmask"], batch["lsn_ids"],
+        batch["lsn_tmask"], batch["melspec_lsn"],
+        batch["active_passive_lsn"], batch["lsn_id"])
+    cond_unc1, masks_unc1 = model.encode_uncond(params, batch)
+    assert all(v.shape[0] == 1 for v in cond_unc1.values())
+
+    tile = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: jnp.broadcast_to(x, (b,) + x.shape[1:]), t)
+
+    key = jax.random.PRNGKey(5)
+    lat1, _ = model.diffusion_reverse(
+        params, cond_real, masks_real, cond_unc1, masks_unc1, key, b,
+        num_inference_steps=4)
+    latB, _ = model.diffusion_reverse(
+        params, cond_real, masks_real, tile(cond_unc1),
+        tile(masks_unc1), key, b, num_inference_steps=4)
+    # same math, different contraction order (the shared-KV einsum drops
+    # the broadcast batch dim) — fp32 noise amplified by the reverse
+    # process's 1/sqrt(alpha) scalings across steps
+    np.testing.assert_allclose(np.asarray(lat1), np.asarray(latB),
+                               rtol=1e-3, atol=1e-3)
