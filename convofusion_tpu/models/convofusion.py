@@ -862,9 +862,18 @@ class CachedSampler:
                             weg_params=weg_params)
 
     def uncond_for(self, params, arrays):
-        geom = (arrays["lsn_id"].shape, arrays["melspec_lsn"].shape)
+        # encode_uncond output is batch-size-independent (single
+        # broadcastable rows), so key on the per-sample geometry only and
+        # slice to batch 1 before the jit call — a ragged final batch
+        # then reuses the cache instead of retracing + re-encoding
+        geom = (arrays["uncond_ids"].shape[1:],
+                arrays["melspec_lsn"].shape[1:],
+                arrays["active_passive_lsn"].shape[1:])
         if geom not in self._uncond:
-            self._uncond[geom] = self._encode_uncond(params, arrays)
+            slim = {k: arrays[k][:1] for k in (
+                "uncond_ids", "uncond_tmask", "melspec_lsn",
+                "active_passive_lsn", "lsn_id")}
+            self._uncond[geom] = self._encode_uncond(params, slim)
         return self._uncond[geom]
 
     def __call__(self, params, arrays, key, focus=None, preseq=None):

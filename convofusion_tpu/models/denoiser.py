@@ -197,7 +197,6 @@ class Denoiser(nn.Module):
         """
         assert not self.fuse_streams, (
             "guided path uses the per-stream layer layout")
-        b = sample.shape[0]
         x, time_emb = self._embed_sample(sample, timesteps)
         x7 = jnp.broadcast_to(x[None], (NUM_BRANCHES,) + x.shape)
 
@@ -206,7 +205,7 @@ class Denoiser(nn.Module):
         # memory at batch 1 through LayerNorm + K/V when the timestep is
         # shared (the sampling scan's scalar t); grouped_attend
         # broadcasts the shared keys/values against the real batch
-        shared_unc = (jnp.ndim(timesteps) == 0 and b != 1 and all(
+        shared_unc = (jnp.ndim(timesteps) == 0 and all(
             v.shape[0] == 1 for v in cond_unc.values()))
         mem_unc = self._build_memory(
             cond_unc, time_emb[:1] if shared_unc else time_emb)
