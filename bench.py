@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--parts", type=int, default=3,
                     help="rollout mode: 128-frame parts per long clip "
                          "(2*parts-1 half-overlapping windows)")
+    ap.add_argument("--weg", action="store_true",
+                    help="sample mode: enable word-excitation guidance "
+                         "(2 focus words/sample, config thresholds) to "
+                         "measure the WEG sampling mode's cost")
     ap.add_argument("--cached-text", action="store_true",
                     help="train mode: precompute the frozen T5 trunk "
                          "activations (cli/train.py's "
@@ -271,8 +275,19 @@ def main():
                            note="train fwd+bwd+adamw")
         return
 
+    focus = None
+    if args.weg:
+        # two in-vocab focus words per sample (cli/focus.py semantics);
+        # the WEG refinement loop + per-step text-only grad pass run
+        # inside the same compiled scan
+        focus = {
+            "focus_idx": jnp.tile(jnp.asarray([[2, 3]], jnp.int32),
+                                  (args.batch, 1)),
+            "focus_valid": jnp.ones((args.batch, 2), jnp.float32),
+        }
+
     sample = jax.jit(
-        lambda p, b, k: model.sample(p, b, k)[0])
+        lambda p, b, k: model.sample(p, b, k, focus=focus)[0])
 
     # compile + warmup
     t0 = time.time()
@@ -297,8 +312,10 @@ def main():
     best = min(times)
     clips_per_sec = args.batch / best / n_chips
     n_dev = jax.local_device_count()
+    weg_tag = "_weg" if args.weg else ""
     result = {
-        "metric": f"clips_per_sec_{args.steps}step_{args.sampler}",
+        "metric": f"clips_per_sec_{args.steps}step_{args.sampler}"
+                  f"{weg_tag}",
         "value": round(clips_per_sec, 2),
         "unit": "clips/s/chip",
         "vs_baseline": round(clips_per_sec / 50.0, 3),
