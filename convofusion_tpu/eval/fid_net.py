@@ -111,7 +111,7 @@ def _conv1d(x, p, stride: int = 1):
     ) + jnp.asarray(p["bias"])
 
 
-def load_torch_fidnet(path: str, feature_length: int = 300) -> Dict:
+def load_torch_fidnet(path: str) -> Dict:
     """Released last_499.bin -> param dict (metric_eval.py:359-373 strips a
     possible 'module.' DDP prefix the same way)."""
     import torch

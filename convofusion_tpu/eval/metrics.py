@@ -29,6 +29,12 @@ def frechet_distance(samples_a: np.ndarray, samples_b: np.ndarray,
         offset = np.eye(s1.shape[0]) * eps
         covmean = linalg.sqrtm((s1 + offset).dot(s2 + offset))
     if np.iscomplexobj(covmean):
+        # ill-conditioned sqrtm (e.g. far fewer samples than feature
+        # dims): the reference raises and its caller reports the 1e10
+        # sentinel (dyadic_eval.py:29-31, 78-81) — silently taking the
+        # real part would yield a bogus but plausible-looking FID
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            return 1e10
         covmean = covmean.real
     return float(diff.dot(diff) + np.trace(s1) + np.trace(s2)
                  - 2 * np.trace(covmean))
@@ -139,7 +145,19 @@ def calc_diversity(feats) -> float:
 
 
 def calculate_avg_distance(feature_list, mean=None, std=None) -> float:
-    feats = np.stack([f.reshape(-1) for f in feature_list])
+    flat = [f.reshape(-1) for f in feature_list]
+    if len({v.shape[0] for v in flat}) > 1:
+        # mixed-length dumps (e.g. a truncated final rollout window):
+        # pairwise L2 needs equal-length vectors — truncate to the
+        # shortest rather than crashing mid-eval
+        import warnings
+
+        n_min = min(v.shape[0] for v in flat)
+        warnings.warn(
+            "diversity: clips have mixed lengths; truncating all to "
+            f"{n_min} features for the pairwise distance")
+        flat = [v[:n_min] for v in flat]
+    feats = np.stack(flat)
     n = feats.shape[0]
     if mean is not None and std is not None:
         feats = (feats - mean) / std

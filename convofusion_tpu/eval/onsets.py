@@ -51,9 +51,17 @@ def peak_pick(x: np.ndarray, pre_max: int, post_max: int, pre_avg: int,
     return np.asarray(peaks, dtype=int)
 
 
-def onset_detect(onset_envelope: np.ndarray, sr: int = 16000,
+def onset_detect(onset_envelope: np.ndarray, sr: int = 22050,
                  hop_length: int = 512) -> np.ndarray:
-    """librosa.onset.onset_detect defaults (pre/post windows in frames)."""
+    """librosa.onset.onset_detect defaults (pre/post windows in frames).
+
+    NB the reference calls ``onset_detect(onset_envelope=...)`` with no
+    ``sr`` (metric_eval.py:112-114), so the peak-pick windows come from
+    librosa's DEFAULT sr=22050 even though the envelope was computed at
+    16 kHz — pre_max 1, post_max 1, pre_avg 4, post_avg 5, wait 1.
+    Like the ``frames_to_time`` quirk below, this is part of the
+    published metric and replicated by defaulting ``sr`` to 22050 here
+    regardless of the audio's rate."""
     env = onset_envelope
     if env.size == 0 or not np.any(env):
         return np.asarray([], dtype=int)
@@ -101,7 +109,9 @@ def audio_beats(y: np.ndarray, sr: int = 16000, hop_length: int = 512):
     """The metric_eval.load_audio chain: (onset_raw, onset_bt,
     onset_bt_rms) frame indices, or (None, None, None) when silent."""
     env = onset_strength(y, sr, hop_length)
-    onset_raw = onset_detect(env, sr, hop_length)
+    # windows from librosa's default sr=22050, NOT the audio sr (the
+    # reference passes no sr to onset_detect — see onset_detect's note)
+    onset_raw = onset_detect(env, hop_length=hop_length)
     if len(onset_raw) == 0:
         return None, None, None
     onset_bt = onset_backtrack(onset_raw, env)

@@ -14,6 +14,7 @@ import argparse
 import glob
 import json
 import os
+import warnings
 
 import numpy as np
 
@@ -28,6 +29,8 @@ from convofusion_tpu.eval.metrics import (
     eval_process_motion,
     frechet_distance,
 )
+
+FID_POSE_LENGTH = 128  # HalfEmbeddingNet's lin0 is hard-wired to 128 frames
 
 
 def evaluate_results(result_dir: str, mode: str = "monadic",
@@ -52,28 +55,27 @@ def evaluate_results(result_dir: str, mode: str = "monadic",
     fid_extractor = fid_params = None
     fid_random_init = False
     if fidnet_path and os.path.exists(fidnet_path):
-        fid_extractor = HalfEmbeddingNet(128, 189, 300)
+        fid_extractor = HalfEmbeddingNet(FID_POSE_LENGTH, 189, 300)
         fid_params = load_torch_fidnet(fidnet_path)
     elif mode == "dyadic":
         # FID features require the released autoencoder
         # (quant_eval/dyadic_eval.py:31-34).  Random-init features give a
         # NUMBER but not a comparable metric — mark it unmistakably so a
         # smoke run can't be mistaken for an evaluation.
-        import warnings
-
         warnings.warn(
             f"FID net weights not found at {fidnet_path!r}; computing FID "
             "with a RANDOM-INIT feature extractor. The value is reported "
             "as 'fid_random_init_features' and is NOT comparable to the "
             "published metric.")
-        fid_extractor = HalfEmbeddingNet(128, 189, 300)
+        fid_extractor = HalfEmbeddingNet(FID_POSE_LENGTH, 189, 300)
         fid_params = fid_extractor.init_params(0)
         fid_random_init = True
 
     align, counter = 0.0, 0
     jitters = []
     pred_all, tar_all = [], []
-    lat_pred, lat_gt = [], []
+    missing_sem = 0
+    fid_skipped = 0
 
     for gt_file in gt_files:
         gt = np.load(gt_file)
@@ -84,8 +86,11 @@ def evaluate_results(result_dir: str, mode: str = "monadic",
 
         if mode == "monadic":
             sem_file = gt_file.replace("gt.npy", "sem_lsn.npy")
-            sem = (np.load(sem_file) if os.path.exists(sem_file)
-                   else np.zeros(t))
+            if os.path.exists(sem_file):
+                sem = np.load(sem_file)
+            else:
+                sem = np.zeros(t)
+                missing_sem += 1
             srgr_cal.run(pred_flat.copy(), gt_flat.copy(), sem)
             l1_calculator.run(pred_flat.copy())
         else:
@@ -98,16 +103,6 @@ def evaluate_results(result_dir: str, mode: str = "monadic",
         pred_all.append(pred_np)
         tar_all.append(gt_np)
 
-        if fid_extractor is not None:
-            import jax.numpy as jnp
-
-            lat_pred.append(np.asarray(fid_extractor(
-                fid_params, jnp.asarray(pred_np.reshape(1, t, 189),
-                                        jnp.float32)))[0])
-            lat_gt.append(np.asarray(fid_extractor(
-                fid_params, jnp.asarray(gt_np.reshape(1, t, 189),
-                                        jnp.float32)))[0])
-
         audio_file = gt_file.replace("gt.npy", "lsn_audio.wav")
         if os.path.exists(audio_file):
             audio, _ = load_wav(audio_file, 16000)
@@ -116,6 +111,31 @@ def evaluate_results(result_dir: str, mode: str = "monadic",
             if a is not None:
                 align += a
                 counter += 1
+
+    lat_pred = lat_gt = None
+    if fid_extractor is not None:
+        # one batched forward per side; the feature net is hard-wired to
+        # 128-frame clips (motion_autoencoder.py lin0 = 59*base), so
+        # clips of any other length are skipped (with a count) rather
+        # than crashing mid-eval — e.g. rollout dumps of stitched length
+        import jax.numpy as jnp
+
+        keep = [i for i, p in enumerate(pred_all)
+                if p.shape[0] == FID_POSE_LENGTH]
+        fid_skipped = len(pred_all) - len(keep)
+        if fid_skipped:
+            warnings.warn(
+                f"FID: skipping {fid_skipped} clip(s) whose length != "
+                f"{FID_POSE_LENGTH} frames (feature net is fixed-length)")
+        if len(keep) > 1:
+            pred_b = jnp.asarray(np.stack(
+                [pred_all[i].reshape(FID_POSE_LENGTH, 189)
+                 for i in keep]), jnp.float32)
+            gt_b = jnp.asarray(np.stack(
+                [tar_all[i].reshape(FID_POSE_LENGTH, 189)
+                 for i in keep]), jnp.float32)
+            lat_pred = np.asarray(fid_extractor(fid_params, pred_b))
+            lat_gt = np.asarray(fid_extractor(fid_params, gt_b))
 
     out = {
         "n_samples": len(gt_files),
@@ -126,11 +146,21 @@ def evaluate_results(result_dir: str, mode: str = "monadic",
         "jitter": float(np.mean(jitters)),
     }
     if mode == "monadic":
-        out["srgr"] = srgr_cal.avg()
-    if fid_extractor is not None and len(lat_pred) > 1:
+        if missing_sem:
+            # zero semantic weights force SRGR to exactly 0 — flag it so
+            # a dump without annotations isn't mistaken for a score
+            warnings.warn(
+                f"{missing_sem}/{len(gt_files)} samples had no "
+                "sem_lsn.npy (zero semantic weights); SRGR is reported "
+                "as 'srgr_missing_sem' and is not comparable.")
+            out["srgr_missing_sem"] = srgr_cal.avg()
+        else:
+            out["srgr"] = srgr_cal.avg()
+    if lat_pred is not None:
         key = "fid_random_init_features" if fid_random_init else "fid"
-        out[key] = frechet_distance(np.stack(lat_pred),
-                                    np.stack(lat_gt))
+        out[key] = frechet_distance(lat_pred, lat_gt)
+        if fid_skipped:
+            out["fid_skipped_clips"] = fid_skipped
     return out
 
 

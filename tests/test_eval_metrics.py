@@ -33,7 +33,7 @@ def test_fidnet_matches_torch(reference_path, tmp_path):
 
     ckpt = tmp_path / "fid.bin"
     torch.save({"model_state": net.state_dict()}, ckpt)
-    params = load_torch_fidnet(str(ckpt), feature_length=32)
+    params = load_torch_fidnet(str(ckpt))
     ours = HalfEmbeddingNet(128, 189, 32)
     import jax.numpy as jnp
 
@@ -134,3 +134,48 @@ def test_evaluate_results_over_dump(tmp_path):
         out_d = evaluate_results(str(tmp_path), "dyadic", fidnet_path=None)
     assert "fid" not in out_d
     assert np.isfinite(out_d["fid_random_init_features"])
+
+
+def test_onset_detect_windows_use_librosa_default_sr():
+    """The reference calls librosa.onset.onset_detect with NO sr
+    (metric_eval.py:112-114), so peak-pick windows derive from the
+    librosa default 22050 (wait=1, pre_avg=4, post_avg=5) even though
+    the envelope was computed at 16 kHz.  wait=1 suppresses an onset one
+    frame after another; sr=16000 windows (wait=0) would keep both."""
+    import numpy as np
+
+    from convofusion_tpu.eval.onsets import onset_detect
+
+    env = np.zeros(64)
+    env[[10, 11, 30]] = 1.0
+    onsets = onset_detect(env)
+    assert 10 in onsets and 30 in onsets
+    assert 11 not in onsets
+
+
+def test_frechet_distance_ill_conditioned_sentinel(monkeypatch):
+    """A sqrtm whose diagonal keeps a material imaginary part must
+    report the reference's 1e10 sentinel (dyadic_eval.py:29-31 raises
+    and the caller substitutes 1e10), not a plausible real part."""
+    import numpy as np
+
+    from convofusion_tpu.eval import metrics
+
+    fake = np.eye(8) + 1j * 0.5 * np.eye(8)
+    monkeypatch.setattr(metrics.linalg, "sqrtm",
+                        lambda m, disp=False: (fake, None))
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((50, 8))
+    b = rng.standard_normal((50, 8))
+    assert metrics.frechet_distance(a, b) == 1e10
+
+
+def test_frechet_distance_well_conditioned():
+    import numpy as np
+
+    from convofusion_tpu.eval.metrics import frechet_distance
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((500, 8))
+    b = rng.standard_normal((500, 8))
+    assert frechet_distance(a, b) < 1.0
