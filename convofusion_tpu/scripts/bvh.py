@@ -41,11 +41,7 @@ class BvhData:
 def parse_bvh(path: str) -> BvhData:
     with open(path) as f:
         tokens = f.read().split()
-    it = iter(range(len(tokens)))
     pos = 0
-
-    def peek():
-        return tokens[pos]
 
     joints: List[BvhJoint] = []
     stack: List[int] = []

@@ -67,6 +67,13 @@ def process_session(session_path: str, output_folder: str,
                 if len(a_spk) < window_samples or \
                         len(m_spk) < num_frames:
                     continue
+                # per-person tracks can differ in length by a few
+                # frames; every listener slice must be full-length too,
+                # or the loader gets mis-shaped motion_lsn arrays
+                if any(len(motion[p]) < s_frame + num_frames
+                       or len(audio[p]) < s_sample + window_samples
+                       for p in range(5) if p != spk_idx):
+                    continue
                 # the reference discards windows whose speaker track has
                 # internal silence gaps (dnd_make_utterance_dataset.py:237)
                 if len(detect_silence(a_spk, sr, min_silence_len=200,

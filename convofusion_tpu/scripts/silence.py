@@ -2,54 +2,67 @@
 
 Reference: scripts/dnd_make_utterance_dataset.py:32-78 uses pydub's
 detect_nonsilent/detect_silence with ms windows and dBFS thresholds.
-pydub is not available; these re-implementations operate on float wavs
-with an O(n) cumulative-energy scan.
+pydub is not available; this re-implementation follows pydub.silence's
+actual algorithm — ms-indexed analysis windows (with the final window
+start guaranteed), and silent ranges MERGED when their starts are
+within ``min_silence_len`` of each other — on an O(n)
+cumulative-energy scan.
 """
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 
 
-def _rms_dbfs_windows(y: np.ndarray, sr: int, win_ms: int,
-                      step_ms: int = 1) -> Tuple[np.ndarray, np.ndarray]:
-    """RMS dBFS of each win_ms window at step_ms stride.
-
-    Returns (starts_ms, dbfs)."""
-    win = max(1, int(sr * win_ms / 1000))
-    step = max(1, int(sr * step_ms / 1000))
-    if len(y) < win:
-        return np.zeros(0), np.zeros(0)
+def _window_dbfs(y: np.ndarray, sr: int, starts_ms: np.ndarray,
+                 win_ms: int) -> np.ndarray:
+    """RMS dBFS of the ``win_ms`` window at each ms start."""
     sq = np.concatenate([[0.0], np.cumsum(y.astype(np.float64) ** 2)])
-    starts = np.arange(0, len(y) - win + 1, step)
-    energy = (sq[starts + win] - sq[starts]) / win
-    rms = np.sqrt(np.maximum(energy, 1e-12))
-    dbfs = 20.0 * np.log10(np.maximum(rms, 1e-10))
-    return starts * 1000.0 / sr, dbfs
+    a = (starts_ms * sr // 1000).astype(int)
+    b = np.minimum(len(y), ((starts_ms + win_ms) * sr // 1000).astype(int))
+    n = np.maximum(1, b - a)
+    rms = np.sqrt(np.maximum((sq[b] - sq[a]) / n, 1e-12))
+    return 20.0 * np.log10(np.maximum(rms, 1e-10))
 
 
 def detect_silence(y: np.ndarray, sr: int = 16000,
                    min_silence_len: int = 1000,
                    silence_thresh: float = -16.0,
                    seek_step: int = 1) -> List[List[int]]:
-    """[[start_ms, end_ms], ...] of silent stretches (pydub contract)."""
-    total_ms = int(len(y) * 1000 / sr)
-    if total_ms < min_silence_len:
+    """[[start_ms, end_ms], ...] of silent stretches (pydub contract).
+
+    Mirrors pydub.silence.detect_silence: window starts every
+    ``seek_step`` ms with the last start (seg_len - min_silence_len)
+    always included, and consecutive silent starts combined into one
+    range unless the gap between them exceeds ``min_silence_len`` —
+    two quiet stretches separated by a short blip count as ONE range.
+    """
+    seg_len = int(len(y) * 1000 / sr)
+    if seg_len < min_silence_len:
         return []
-    starts_ms, dbfs = _rms_dbfs_windows(y, sr, min_silence_len, seek_step)
-    silent = dbfs <= silence_thresh
-    out: List[List[int]] = []
-    run_start = None
-    for s_ms, is_sil in zip(starts_ms, silent):
-        if is_sil and run_start is None:
-            run_start = s_ms
-        elif not is_sil and run_start is not None:
-            out.append([int(run_start), int(s_ms + min_silence_len - 1)])
-            run_start = None
-    if run_start is not None:
-        out.append([int(run_start), total_ms])
-    return out
+    last_slice_start = seg_len - min_silence_len
+    starts = np.arange(0, last_slice_start + 1, seek_step)
+    if last_slice_start % seek_step:
+        starts = np.append(starts, last_slice_start)
+    dbfs = _window_dbfs(y, sr, starts, min_silence_len)
+    silence_starts = starts[dbfs <= silence_thresh]
+    if len(silence_starts) == 0:
+        return []
+
+    combined: List[List[int]] = []
+    prev_i = int(silence_starts[0])
+    range_start = prev_i
+    for i in silence_starts[1:]:
+        i = int(i)
+        continuous = i == prev_i + seek_step
+        has_gap = i > prev_i + min_silence_len
+        if not continuous and has_gap:
+            combined.append([range_start, prev_i + min_silence_len])
+            range_start = i
+        prev_i = i
+    combined.append([range_start, prev_i + min_silence_len])
+    return combined
 
 
 def detect_nonsilent(y: np.ndarray, sr: int = 16000,

@@ -44,6 +44,12 @@ class WhisperTranscriber:
 
     def __call__(self, audio: np.ndarray, sr: int = 16000
                  ) -> Tuple[str, List[WordSegment]]:
+        if sr != 16000:
+            # whisper assumes 16 kHz raw input; transcribing at another
+            # rate pitch-shifts the audio and scales all timestamps
+            from convofusion_tpu.data.audio import resample_linear
+
+            audio = resample_linear(audio, sr, 16000)
         result = self.model.transcribe(
             audio.astype(np.float32), word_timestamps=True)
         words: List[WordSegment] = []
@@ -79,9 +85,10 @@ def transcribe_tree(src_dir: str, out_dir: str, transcriber=None,
     for audio_path in sorted(glob.glob(os.path.join(src_dir, "*/*.wav"))):
         y, _ = load_wav(audio_path, sr)
         text, words = transcriber(y, sr)
-        dest = os.path.join(
-            out_dir, "/".join(audio_path.split("/")[-2:])
-        ).replace(".wav", ".json")
+        rel = "/".join(audio_path.split("/")[-2:])
+        # splitext, not str.replace: a directory containing '.wav'
+        # would otherwise be mangled too
+        dest = os.path.join(out_dir, os.path.splitext(rel)[0] + ".json")
         os.makedirs(os.path.dirname(dest), exist_ok=True)
         with open(dest, "w") as f:
             json.dump({"text": text,
@@ -97,10 +104,9 @@ def create_word_segments(dataset_dir: str, transcriber=None,
     for wav in wavs:
         y, _ = load_wav(wav, sr)
         _, words = transcriber(y, sr)
-        seg_path = os.path.join(
-            os.path.dirname(wav),
-            os.path.basename(wav).replace("audio_", "seg_").replace(
-                ".wav", ".txt"))
+        base = os.path.splitext(os.path.basename(wav))[0]
+        seg_path = os.path.join(os.path.dirname(wav),
+                                base.replace("audio_", "seg_", 1) + ".txt")
         write_word_segments(seg_path, words)
 
 
@@ -116,4 +122,9 @@ if __name__ == "__main__":
         transcribe_tree(args.src, args.out or
                         os.path.join(args.src, "whisper_transcription"))
     else:
+        # dnd mode writes seg_*.txt NEXT TO the source wavs (the layout
+        # the dataset loader expects) — an --out dir is not applicable
+        if args.out:
+            ap.error("--out is not supported with --mode dnd: seg files "
+                     "are written next to the source wavs")
         create_word_segments(args.src)

@@ -67,8 +67,10 @@ def render_clip(joints: np.ndarray, out_path: str, fps: int = 25,
             pts = joints[f]
             a_i.scatter(pts[:, 0], pts[:, 2], pts[:, 1], s=2, c="k")
             for a, b in bones:
-                a_i.plot([pts[a, 0], pts[b, 0]], [pts[a, 2], pts[b, 2]],
-                         [pts[a, 1], pts[b, 1]], c="tab:blue", lw=1)
+                if a < j and b < j:
+                    a_i.plot([pts[a, 0], pts[b, 0]],
+                             [pts[a, 2], pts[b, 2]],
+                             [pts[a, 1], pts[b, 1]], c="tab:blue", lw=1)
             a_i.set_axis_off()
         fig2.savefig(out_path, dpi=120, bbox_inches="tight")
         plt.close(fig2)
@@ -108,11 +110,12 @@ def main(argv=None):
     joints = np.load(args.npy)
     if joints.ndim == 2:
         joints = joints.reshape(len(joints), -1, 3)
-    out = args.out or args.npy.replace(".npy", ".mp4")
+    out = args.out or os.path.splitext(args.npy)[0] + ".mp4"
     out = render_clip(joints, out, args.fps, stride=args.stride,
                       title=os.path.basename(os.path.dirname(args.npy)))
     if args.audio and out.endswith(".mp4"):
-        out = mux_audio(out, args.audio, out.replace(".mp4", "_av.mp4"))
+        out = mux_audio(out, args.audio,
+                        os.path.splitext(out)[0] + "_av.mp4")
     print(f"wrote {out}")
     return out
 

@@ -146,3 +146,25 @@ def test_beat_getjoints_over_fixture_bvh(tmp_path):
     joints = bvh_to_joint_positions(str(p))
     assert joints.shape == (2, len(JOINT_LIST), 3)
     assert np.isfinite(joints).all()
+
+
+def test_silence_detection_pydub_semantics():
+    """Pin the pydub.silence algorithm details: the final window start is
+    analyzed even when seek_step doesn't divide it, and range end =
+    last_silent_start + min_silence_len."""
+    import numpy as np
+
+    sr = 16000
+    loud = 0.5 * np.sin(
+        2 * np.pi * 220 * np.arange(int(sr * 0.6)) / sr).astype(np.float32)
+    quiet = np.zeros(int(sr * 0.4), np.float32)
+    y = np.concatenate([loud, quiet])  # 1000 ms, silence in [600, 1000]
+
+    sil = detect_silence(y, sr, min_silence_len=300, silence_thresh=-45,
+                         seek_step=7)
+    # last_slice_start = 700, not a multiple of 7 -> must still be
+    # analyzed, so the detected range reaches the clip end (700+300)
+    assert len(sil) == 1
+    start, end = sil[0]
+    assert end == 1000
+    assert 595 <= start <= 610
