@@ -8,7 +8,6 @@ Run: python -m convofusion_tpu.cli.test --cfg <yaml> [key=value ...]
 from __future__ import annotations
 
 import os
-import sys
 import time
 
 import jax
@@ -175,4 +174,6 @@ def _prepare(model, batch):
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    # main() returns its result object (params / the output dir) for
+    # callers and tests — not an exit status
+    main()

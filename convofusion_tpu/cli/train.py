@@ -9,7 +9,6 @@ Run: python -m convofusion_tpu.cli.train --cfg <yaml> [key=value ...]
 from __future__ import annotations
 
 import os
-import sys
 import time
 
 import jax
@@ -246,4 +245,6 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    # main() returns its result object (params / the output dir) for
+    # callers and tests — not an exit status
+    main()

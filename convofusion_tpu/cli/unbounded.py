@@ -17,7 +17,6 @@ Run: python -m convofusion_tpu.cli.unbounded --cfg <yaml> [key=value ...]
 from __future__ import annotations
 
 import os
-import sys
 import time
 
 import jax
@@ -266,4 +265,6 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    # main() returns its result object (params / the output dir) for
+    # callers and tests — not an exit status
+    main()

@@ -51,13 +51,25 @@ def main(argv=None):
     else:
         params = load_torch_full_model(args.ckpt, params)
 
-    path = save_checkpoint(os.path.dirname(args.out) or ".", 0, params,
-                           keep_text_model=True)
-    # save_checkpoint names by epoch; rename to the requested path
-    if os.path.abspath(path) != os.path.abspath(args.out):
+    # save into a private temp dir, then move into place: writing
+    # epoch=0 directly under dirname(out) could clobber a real training
+    # checkpoint living there, and os.replace cannot overwrite an
+    # existing non-empty orbax directory from a previous conversion
+    import shutil
+    import tempfile
+
+    parent = os.path.dirname(os.path.abspath(args.out)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=".convert-", dir=parent)
+    try:
+        path = save_checkpoint(tmp, 0, params, keep_text_model=True)
+        if os.path.isdir(args.out):
+            shutil.rmtree(args.out)
         os.replace(path, args.out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     print(f"converted {args.ckpt} ({args.kind}) -> {args.out}")
-    return args.out
+    return 0
 
 
 if __name__ == "__main__":

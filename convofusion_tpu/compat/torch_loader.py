@@ -163,7 +163,7 @@ def vae_params(sd, d_model: int, num_layers: int, prefix: str = ""):
     ``prefix`` e.g. 'vae' when loading from a full-model checkpoint.
     """
     p = (prefix + ".") if prefix else ""
-    return {
+    out = {
         "body_encoder": skip_encoder(sd, f"{p}body_encoder", d_model,
                                      num_layers),
         "hands_encoder": skip_encoder(sd, f"{p}hands_encoder", d_model,
@@ -179,6 +179,12 @@ def vae_params(sd, d_model: int, num_layers: int, prefix: str = ""):
         "body_final_layer": linear(sd, f"{p}body_final_layer"),
         "hands_final_layer": linear(sd, f"{p}hands_final_layer"),
     }
+    # MLP_DIST ablation checkpoints carry Linear d->2d dist heads
+    # (vae.py:134-140); convert them rather than silently dropping them
+    if f"{p}body_dist_layer.weight" in sd:
+        out["body_dist_layer"] = linear(sd, f"{p}body_dist_layer")
+        out["hands_dist_layer"] = linear(sd, f"{p}hands_dist_layer")
+    return out
 
 
 def denoiser_params(sd, d_model: int, num_layers: int, prefix: str = ""):

@@ -57,11 +57,17 @@ def strip_frozen_text_model(params: Dict) -> Dict:
 
 
 def reinject_frozen_text_model(loaded: Dict, current: Dict) -> Dict:
-    """Put the live T5 weights back after load (base.py:94-123)."""
+    """Put the live T5 weights back after load (base.py:94-123).
+
+    Only fills the gap left by ``strip_frozen_text_model`` — a checkpoint
+    that DOES carry a trunk (e.g. converted from a full torch checkpoint
+    with ``keep_text_model=True``) keeps its own real weights instead of
+    being overwritten with the session's init."""
     out = dict(loaded)
     if "text_encoder" in current:
         te = dict(out.get("text_encoder", {}))
-        te["text_model"] = current["text_encoder"]["text_model"]
+        if "text_model" not in te:
+            te["text_model"] = current["text_encoder"]["text_model"]
         out["text_encoder"] = te
     return out
 
@@ -150,10 +156,12 @@ def transplant_vae(params: Dict, vae_ckpt_path: str) -> Dict:
 def _torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch
 
+    from convofusion_tpu.compat.torch_loader import to_numpy_state_dict
+
     obj = torch.load(path, map_location="cpu", weights_only=False)
     sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
-    return {k: np.asarray(v.detach().cpu().numpy())
-            for k, v in sd.items() if hasattr(v, "detach")}
+    return to_numpy_state_dict(
+        {k: v for k, v in sd.items() if hasattr(v, "detach")})
 
 
 def _infer_skip_layers(sd: Dict, prefix: str) -> int:
@@ -163,6 +171,10 @@ def _infer_skip_layers(sd: Dict, prefix: str) -> int:
         m = re.match(rf"{re.escape(prefix)}\.input_blocks\.(\d+)\.", k)
         if m:
             idx.append(int(m.group(1)))
+    if max(idx) < 0:
+        raise KeyError(
+            f"no '{prefix}.input_blocks.*' keys in the checkpoint — wrong "
+            "--kind, or an unexpected key prefix (e.g. 'module.')")
     return 2 * (max(idx) + 1) + 1
 
 
@@ -226,7 +238,12 @@ def load_torch_full_model(path: str, current_params: Dict,
                for k, v in sd.items()
                if k.startswith("text_audio_encoder.text_encoder.text_model.")}
     if t5_keys:
-        te["text_model"] = t5_params_from_torch(t5_keys)
+        # infer the encoder depth instead of assuming t5-base's 12
+        t5_layers = 1 + max(
+            int(m.group(1)) for k in t5_keys
+            if (m := re.match(r"encoder\.block\.(\d+)\.", k)))
+        te["text_model"] = t5_params_from_torch(t5_keys,
+                                                num_layers=t5_layers)
     params["text_encoder"] = te
 
     params["condition_fuser"] = {

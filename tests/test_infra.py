@@ -166,3 +166,25 @@ def test_checkpoint_resume_mismatched_opt_state_falls_back(tmp_path):
     assert o2 is None
     assert any("does not match" in str(w.message) for w in caught)
     assert set(p2) == set(params)
+
+
+def test_reinject_keeps_checkpoint_trunk_when_present():
+    """A checkpoint converted with keep_text_model=True carries REAL T5
+    weights; reinject must not overwrite them with the session init."""
+    import numpy as np
+
+    from convofusion_tpu.train.checkpoint import (
+        reinject_frozen_text_model,
+        strip_frozen_text_model,
+    )
+
+    loaded = {"text_encoder": {"text_model": {"w": np.ones(2)},
+                               "projection_1": {"k": np.ones(1)}}}
+    current = {"text_encoder": {"text_model": {"w": np.zeros(2)}}}
+    out = reinject_frozen_text_model(loaded, current)
+    assert (out["text_encoder"]["text_model"]["w"] == 1).all()
+
+    # stripped checkpoints still get the live trunk injected
+    stripped = strip_frozen_text_model(loaded)
+    out2 = reinject_frozen_text_model(stripped, current)
+    assert (out2["text_encoder"]["text_model"]["w"] == 0).all()
