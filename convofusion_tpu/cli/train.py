@@ -44,12 +44,17 @@ def main(argv=None):
     # the DCN mesh (reference scale-out was single-host Lightning DDP)
     if bool(cfg.get("TPU", {}).get("MULTIHOST", False)):
         jax.distributed.initialize()
+    # side outputs (wandb run, metrics jsonl/TB, checkpoint writes) come
+    # from process 0 only: N hosts sharing an experiment dir must not
+    # create N wandb runs or race on the epoch= dir force-delete
+    is_main = jax.process_index() == 0
     logger = create_logger(cfg, "train")
     metrics = MetricsLogger(
         cfg.FOLDER_EXP,
         enable_wandb=not bool(cfg.LOGGER.WANDB.get("OFFLINE", True)),
         wandb_project=cfg.LOGGER.WANDB.get("PROJECT"),
-        wandb_resume_id=cfg.LOGGER.WANDB.get("RESUME_ID"))
+        wandb_resume_id=cfg.LOGGER.WANDB.get("RESUME_ID"),
+    ) if is_main else None
     logger.info(f"stage={cfg.TRAIN.STAGE} name={cfg.NAME}")
 
     datamodule = get_datasets(cfg)[0]
@@ -231,16 +236,24 @@ def main(argv=None):
                     f"epoch {epoch}: val loss="
                     f"{val_metrics.get('total/val', float('nan')):.4f}")
                 epoch_metrics.update(val_metrics)
-        metrics.log(epoch_metrics, step=epoch)
+        if metrics is not None:
+            metrics.log(epoch_metrics, step=epoch)
         progress.on_epoch_end(epoch, epoch_metrics)
-        if (epoch + 1) % save_every == 0 or \
-                epoch == int(cfg.TRAIN.END_EPOCH) - 1:
+        if is_main and ((epoch + 1) % save_every == 0 or
+                        epoch == int(cfg.TRAIN.END_EPOCH) - 1):
+            # process-0-only save of the replicated state: device_get on
+            # multihost (params/opt_state are fully replicated over the
+            # data mesh, so every host holds the complete value) avoids
+            # orbax's coordinated all-host save and the shared-dir race
+            tree = (jax.device_get((params, opt_state))
+                    if multihost else (params, opt_state))
             # background write: the next epoch's compute overlaps host IO
-            path = save_checkpoint(ckpt_dir, epoch, params, opt_state,
+            path = save_checkpoint(ckpt_dir, epoch, tree[0], tree[1],
                                    background=True)
             logger.info(f"saving {path} (async)")
     wait_for_checkpoints()
-    metrics.close()
+    if metrics is not None:
+        metrics.close()
     return params
 
 

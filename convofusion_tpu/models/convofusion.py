@@ -856,12 +856,29 @@ class CachedSampler:
         self.model = model
         self._fns = {}
         self._uncond = {}
+        # identity of the params the cached uncond encodes were computed
+        # from; a strong reference keeps the id() from being recycled
+        self._params_leaf = None
         self._encode_uncond = jax.jit(model.encode_uncond)
         self._static = dict(num_inference_steps=num_inference_steps,
                             capture_attention=capture_attention,
                             weg_params=weg_params)
 
+    def invalidate(self):
+        """Drop cached uncond encodes (call after updating params in
+        place if relying on object identity is undesirable). Compiled
+        executables are params-independent and are kept."""
+        self._uncond.clear()
+        self._params_leaf = None
+
     def uncond_for(self, params, arrays):
+        # the uncond encodes depend on the weights: detect params changes
+        # (evaluating several checkpoints in one process, train-then-
+        # sample loops) by canonical-leaf identity and invalidate
+        leaf = jax.tree_util.tree_leaves(params)[0]
+        if leaf is not self._params_leaf:
+            self._uncond.clear()
+            self._params_leaf = leaf
         # encode_uncond output is batch-size-independent (single
         # broadcastable rows), so key on the per-sample geometry only and
         # slice to batch 1 before the jit call — a ragged final batch

@@ -107,7 +107,11 @@ def load_checkpoint(path: str, current_params: Optional[Dict] = None,
     try:
         tree = _checkpointer().restore(str(Path(path).absolute()),
                                        item=item)
-    except Exception:
+    except (ValueError, TypeError, KeyError):
+        # orbax signals template/on-disk structure mismatch with these
+        # (e.g. "restore item and on-disk value ... do not match");
+        # IO/permission/corruption errors (OSError & friends) propagate
+        # with their original context instead of being masked
         if item is None:
             raise
         # checkpoint written under a different optimizer structure (e.g.

@@ -63,9 +63,15 @@ def prefetch(iterable: Iterable, prepare_fn: Optional[Callable] = None,
             yield payload
     finally:
         # consumer abandoned the iterator (break / exception) or it is
-        # exhausted: unblock any pending put and retire the producer
+        # exhausted: unblock any pending put and retire the producer.
+        # The drain is BOUNDED: if the producer is stuck inside
+        # prepare_fn (e.g. a hung device transfer) it cannot be joined —
+        # give up after ~5s and rely on the daemon flag rather than
+        # hanging generator close/GC forever
         stop.set()
-        while thread.is_alive():
+        for _ in range(50):
+            if not thread.is_alive():
+                break
             try:
                 q.get_nowait()
             except queue.Empty:

@@ -13,21 +13,16 @@ Known reference defect worked around here: DnD entries are built without a
 crashes with KeyError on every DnD item — we inject the key before reading.
 """
 import os
-import sys
-import types
-from types import SimpleNamespace
 
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
 
-from convofusion_tpu.data import audio as A
 from convofusion_tpu.data.dataset import (
     BEATAugReactionDataset as OurDS,
 )
 from convofusion_tpu.data.fixture import make_beat_fixture, make_dnd_fixture
-from convofusion_tpu.data.text import parse_textgrid
 
 FIELDS = [
     "motion_spk", "m_length", "motion_lsn", "melspec_spk", "melspec_lsn",
@@ -37,54 +32,7 @@ FIELDS = [
 ]
 
 
-def _install_data_shims():
-    # the reference predates numpy 1.24 (np.float alias removed)
-    if not hasattr(np, "float"):
-        np.float = float
-        np.int = int
-    if "librosa" not in sys.modules:
-        librosa = types.ModuleType("librosa")
-        librosa.load = lambda path, sr=None: A.load_wav(path, sr)
-        util = types.ModuleType("librosa.util")
-        util.normalize = A.normalize
-        librosa.util = util
-        librosa.amplitude_to_db = (
-            lambda a, ref=1.0: A.amplitude_to_db(a, ref=ref))
-        feature = types.ModuleType("librosa.feature")
-
-        def melspectrogram(y=None, sr=22050, n_fft=2048, hop_length=512,
-                           n_mels=128, **kw):
-            # ours returns (frames, mels); librosa returns (mels, frames)
-            # and the reference transposes it back (dataset.py:517)
-            return A.melspectrogram(y, sr, n_fft, hop_length, n_mels).T
-
-        feature.melspectrogram = melspectrogram
-        librosa.feature = feature
-        # librosa semantics: callable ref (np.max) is applied to S — our
-        # power_to_db does exactly that when ref is None
-        librosa.power_to_db = (
-            lambda S, ref=1.0, **kw: A.power_to_db(
-                S, ref=None if callable(ref) else ref))
-        sys.modules["librosa"] = librosa
-        sys.modules["librosa.util"] = util
-        sys.modules["librosa.feature"] = feature
-    if "textgrid" not in sys.modules:
-        tgmod = types.ModuleType("textgrid")
-
-        class TextGrid:
-            @staticmethod
-            def fromFile(path):
-                td = parse_textgrid(path)
-                intervals = [
-                    SimpleNamespace(mark=str(t), minTime=float(s),
-                                    maxTime=float(e))
-                    for t, s, e in zip(td["text"], td["start"], td["end"])]
-                return [intervals]
-
-        tgmod.TextGrid = TextGrid
-        sys.modules["textgrid"] = tgmod
-    if "soundfile" not in sys.modules:
-        sys.modules["soundfile"] = types.ModuleType("soundfile")
+from ref_shims import install_data_shims as _install_data_shims  # noqa: E402
 
 
 @pytest.fixture(scope="module")

@@ -18,8 +18,6 @@ attention capture (:517-519), the final token->(body,hands) unstacking and
 VAE decode (:1025-1032) — to the torch reference numerically, the
 mechanism-level evidence for BASELINE.md's fidelity target.
 """
-import sys
-import types
 from types import SimpleNamespace
 
 import numpy as np
@@ -49,39 +47,7 @@ REF_KEEP = {
 }
 
 
-def _install_ref_shims():
-    """Stand-ins for packages the reference imports but this image lacks.
-
-    Only import-time surface: none of these are exercised by
-    ``_diffusion_reverse`` itself.
-    """
-    if "pytorch_lightning" not in sys.modules:
-        pl = types.ModuleType("pytorch_lightning")
-        pl.LightningModule = torch.nn.Module
-        sys.modules["pytorch_lightning"] = pl
-    if "torchmetrics" not in sys.modules:
-        tm = types.ModuleType("torchmetrics")
-        tm.Metric = object
-        tm.MetricCollection = dict
-        sys.modules["torchmetrics"] = tm
-    if "soundfile" not in sys.modules:
-        sys.modules["soundfile"] = types.ModuleType("soundfile")
-    if "kornia" not in sys.modules:
-        kornia = types.ModuleType("kornia")
-        filters = types.ModuleType("kornia.filters")
-        kernels = types.ModuleType("kornia.filters.kernels")
-
-        def laplacian_1d(window_size):
-            k = torch.ones(window_size)
-            k[window_size // 2] = 1.0 - window_size
-            return k
-
-        kernels.laplacian_1d = laplacian_1d
-        filters.kernels = kernels
-        kornia.filters = filters
-        sys.modules["kornia"] = kornia
-        sys.modules["kornia.filters"] = filters
-        sys.modules["kornia.filters.kernels"] = kernels
+from ref_shims import install_model_shims as _install_ref_shims  # noqa: E402
 
 
 class TorchSchedulerShim:

@@ -12,7 +12,6 @@ satisfy metric_eval's module-level imports).
 """
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -24,32 +23,14 @@ def _import_ref_metric_eval(reference_path):
     qdir = os.path.join(reference_path, "quant_eval")
     if qdir not in sys.path:
         sys.path.insert(0, qdir)
-    if "librosa" not in sys.modules:
-        from convofusion_tpu.eval import onsets as O
+    from ref_shims import install_librosa, install_numpy_aliases
 
-        librosa = types.ModuleType("librosa")
-        librosa.frames_to_time = O.frames_to_time
-        sys.modules["librosa"] = librosa
-    lib = sys.modules["librosa"]
-    if "librosa.display" not in sys.modules:
-        display = types.ModuleType("librosa.display")
-        lib.display = display
-        sys.modules["librosa.display"] = display
-    if not hasattr(lib, "frames_to_time"):
-        from convofusion_tpu.eval import onsets as O
-
-        lib.frames_to_time = O.frames_to_time
+    install_librosa()
     # quant_eval/quaternion.py:13 uses the np.float alias removed in
-    # numpy>=1.24; restore it just for the import
-    had = hasattr(np, "float")
-    if not had:
-        np.float = float
-    try:
-        import metric_eval
-        import jitter_metric
-    finally:
-        if not had:
-            del np.float
+    # numpy>=1.24
+    install_numpy_aliases()
+    import metric_eval
+    import jitter_metric
     return metric_eval, jitter_metric
 
 

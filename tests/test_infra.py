@@ -188,3 +188,30 @@ def test_reinject_keeps_checkpoint_trunk_when_present():
     stripped = strip_frozen_text_model(loaded)
     out2 = reinject_frozen_text_model(stripped, current)
     assert (out2["text_encoder"]["text_model"]["w"] == 0).all()
+
+
+def test_cached_sampler_uncond_invalidates_on_new_params():
+    """ADVICE r2 (medium): the uncond cache must not serve encodings
+    computed from old weights after the caller swaps params (multi-
+    checkpoint eval, train-then-sample)."""
+    import jax.numpy as jnp
+
+    from convofusion_tpu.models.convofusion import CachedSampler
+
+    class Stub:
+        @staticmethod
+        def encode_uncond(params, arrays):
+            return params["w"] * 1.0
+
+    cs = CachedSampler(Stub())
+    arrays = {k: jnp.zeros((2, 3)) for k in (
+        "uncond_ids", "uncond_tmask", "melspec_lsn",
+        "active_passive_lsn", "lsn_id")}
+    p1 = {"w": jnp.asarray(2.0)}
+    u1 = cs.uncond_for(p1, arrays)
+    assert float(u1) == 2.0
+    assert cs.uncond_for(p1, arrays) is u1  # same weights: cache hit
+    p2 = {"w": jnp.asarray(5.0)}
+    assert float(cs.uncond_for(p2, arrays)) == 5.0  # new weights: recompute
+    cs.invalidate()
+    assert cs._uncond == {}

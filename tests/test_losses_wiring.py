@@ -103,13 +103,9 @@ def test_guided_attention_golden_vs_torch(reference_path):
     torch = pytest.importorskip("torch")
     # the reference module imports torchmetrics (absent here) only for its
     # Losses MetricCollection base; GuidedAttentionLoss doesn't need it
-    import sys
-    import types
+    from ref_shims import install_torchmetrics
 
-    if "torchmetrics" not in sys.modules:
-        shim = types.ModuleType("torchmetrics")
-        shim.Metric = object
-        sys.modules["torchmetrics"] = shim
+    install_torchmetrics()
     from convofusion.models.losses.diffvae import GuidedAttentionLoss
 
     rng = np.random.default_rng(0)

@@ -99,3 +99,26 @@ def test_prefetch_stages_jax_arrays():
     outs = list(prefetch(batches, stage, depth=2))
     assert all(isinstance(o["x"], jax.Array) for o in outs)
     np.testing.assert_array_equal(np.asarray(outs[3]["x"]), batches[3]["x"])
+
+
+def test_prefetch_close_bounded_when_producer_hangs():
+    """ADVICE r2: abandoning the iterator while the producer is stuck
+    inside prepare_fn must not hang generator close — the drain gives up
+    after ~5s and relies on the daemon flag."""
+    import threading
+    import time
+
+    release = threading.Event()
+
+    def prep(x):
+        if x == 1:
+            release.wait(30)  # simulate a hung device transfer
+        return x
+
+    gen = prefetch(list(range(5)), prep, depth=1)
+    assert next(gen) == 0
+    t0 = time.time()
+    gen.close()
+    elapsed = time.time() - t0
+    release.set()
+    assert elapsed < 10, f"close took {elapsed:.1f}s"

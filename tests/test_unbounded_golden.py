@@ -17,8 +17,6 @@ empty ``models/tools/__init__.py`` — we alias the canonical
 reference itself needs to run).
 """
 import contextlib
-import sys
-import types
 
 import numpy as np
 import pytest
@@ -28,9 +26,8 @@ import jax
 
 torch = pytest.importorskip("torch")
 
-from test_dataset_oracle import _install_data_shims
+from ref_shims import install_all
 from test_e2e_sampler_golden import (
-    _install_ref_shims,
     _jax_noise_sequence,
     _rand_conditions,
     _ref_host,
@@ -50,31 +47,10 @@ PRESEQ_LEN = 8  # half of the 16 latent tokens, as in the rollout
 
 
 def _install_unbounded_shims():
-    """Extend the e2e shims with the surface ``unbounded_synthesis``'s
-    import chain needs (pl callbacks/datamodule/rank_zero, librosa,
-    textgrid) plus the tools.weg alias."""
-    _install_ref_shims()
-    _install_data_shims()
-
-    pl = sys.modules["pytorch_lightning"]
-    if not hasattr(pl, "Trainer"):
-        pl.Trainer = object
-    if not hasattr(pl, "LightningDataModule"):
-        pl.LightningDataModule = object
-    if "pytorch_lightning.callbacks" not in sys.modules:
-        cbs = types.ModuleType("pytorch_lightning.callbacks")
-        cbs.Callback = object
-        pl.callbacks = cbs
-        sys.modules["pytorch_lightning.callbacks"] = cbs
-    if "pytorch_lightning.utilities.rank_zero" not in sys.modules:
-        utilities = types.ModuleType("pytorch_lightning.utilities")
-        rank_zero = types.ModuleType(
-            "pytorch_lightning.utilities.rank_zero")
-        rank_zero.rank_zero_only = lambda fn: fn
-        utilities.rank_zero = rank_zero
-        pl.utilities = utilities
-        sys.modules["pytorch_lightning.utilities"] = utilities
-        sys.modules["pytorch_lightning.utilities.rank_zero"] = rank_zero
+    """The full shim surface ``unbounded_synthesis``'s import chain needs
+    (pl callbacks/datamodule/rank_zero, librosa, textgrid) plus the
+    tools.weg alias."""
+    install_all()
 
     # the reference's own import bug: models/tools/__init__.py is empty
     # but unbounded_synthesis.py:21 does `from convofusion.models.tools
