@@ -11,10 +11,12 @@ slice is expressed as a softmax mask instead of a dynamic slice, and the
 data-dependent refinement loop (``while loss > target``) becomes
 ``lax.while_loop`` with the reference's max-iteration bound.
 
-Known deviation: the reference reflect-pads the *sliced* attention map
-before Gaussian smoothing; we smooth the full map with invalid columns
-zeroed, which differs only at the bos/eot boundary columns of the 3x3
-kernel.
+Smoothing matches the reference EXACTLY: the reference reflect-pads the
+*sliced* [1, eot) attention map before the 3x3 Gaussian
+(word_excitation_guidance.py:33-36); :func:`sliced_reflect_smooth`
+reproduces that on the full static-shape map by gathering the reflected
+interior columns into the (dynamic) slice-boundary ring columns before a
+single valid conv — no dynamic slicing inside jit.
 """
 from __future__ import annotations
 
@@ -22,10 +24,42 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
-from convofusion_tpu.ops.smoothing import gaussian_smooth_2d
+from convofusion_tpu.ops.smoothing import gaussian_kernel_2d
 
 _BIG_NEG = -1e9
+
+
+def sliced_reflect_smooth(p: jnp.ndarray, eot_idx: jnp.ndarray,
+                          kernel_size: int = 3,
+                          sigma: float = 0.5) -> jnp.ndarray:
+    """Gaussian-smooth the [1, eot) column slice of ``p`` (B, Tq, Tk)
+    with reflect padding AT THE SLICE BOUNDARY, as the reference does on
+    the sliced map (word_excitation_guidance.py:33-36).
+
+    Static-shape formulation: the reflect ring is one column each side of
+    the slice (3x3 kernel), so gather column 2 into column 0 and column
+    eot-2 into column eot, reflect-pad the rows, run one valid conv over
+    the full map, and zero the columns outside [1, eot).  Output columns
+    inside the slice are then bit-equal to conv(reflect_pad(slice)).
+    """
+    b, tq, tk = p.shape
+    j = jnp.arange(tk)[None, :]
+    eot = eot_idx[:, None].astype(jnp.int32)
+    src = jnp.where(j == 0, 2, jnp.where(j == eot, eot - 2, j))
+    src = jnp.clip(src, 0, tk - 1)
+    p_ext = jnp.take_along_axis(
+        p, jnp.broadcast_to(src[:, None, :], (b, tq, tk)), axis=2)
+    k = jnp.asarray(gaussian_kernel_2d(kernel_size, sigma), p.dtype)
+    pad = kernel_size // 2
+    x = jnp.pad(p_ext, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)))
+    out = lax.conv_general_dilated(
+        x[:, None, :, :], k[None, None, :, :], window_strides=(1, 1),
+        padding="VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
+    region = (j >= 1) & (j < eot)
+    return out * region[:, None, :]
 
 
 def aggregate_attentions(att_mats: jnp.ndarray) -> jnp.ndarray:
@@ -56,7 +90,7 @@ def max_attention_at_indices(
     p = jax.nn.softmax(logits, axis=-1)
     p = p * region[:, None, :]
     if smooth:
-        p = gaussian_smooth_2d(p, kernel_size=3, sigma=0.5)
+        p = sliced_reflect_smooth(p, eot_idx, kernel_size=3, sigma=0.5)
 
     # gather focus columns and take the max over motion tokens
     cols = jnp.take_along_axis(

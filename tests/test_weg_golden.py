@@ -1,11 +1,9 @@
 """Numeric golden tests for Word-Excitation Guidance vs the torch reference.
 
 Oracle: convofusion/models/tools/word_excitation_guidance.py (aggregate,
-max-attention gather, focus loss).  The one documented deviation — Gaussian
-smoothing is applied to the full map with masked columns instead of the
-bos/eot slice (models/weg.py:14-18) — is quantified here: interior focus
-columns (>=1 column away from the region boundary) must match the torch
-chain exactly; boundary columns are bounded.
+max-attention gather, focus loss).  Smoothing is the reference's sliced
+reflect-pad Gaussian reproduced exactly (weg.sliced_reflect_smooth), so
+interior AND boundary focus columns must match to fp32.
 """
 import numpy as np
 import pytest
@@ -89,9 +87,10 @@ def test_max_attention_smoothing_interior_exact(ref_weg):
                 ours[i, j], float(maxes_t[i][j]), rtol=2e-5, atol=2e-6)
 
 
-def test_max_attention_smoothing_boundary_bounded(ref_weg):
-    """Boundary columns (i=1, i=eot-1) may deviate (documented in
-    weg.py:14-18); bound the deviation so a regression is visible."""
+def test_max_attention_smoothing_boundary_exact(ref_weg):
+    """Boundary columns (i=1, i=eot-1): the sliced reflect-pad smoothing
+    (weg.sliced_reflect_smooth) matches torch to fp32 — the r2 boundary
+    deviation is gone."""
     rng = np.random.default_rng(2)
     att = _rand_att(rng, tk=14)
     b, _, _, tk = att.shape
@@ -102,12 +101,26 @@ def test_max_attention_smoothing_boundary_bounded(ref_weg):
     focus_valid = np.ones_like(focus_idx, bool)
     ours, _ = _ours_chain(att, focus_idx, focus_valid,
                           np.full((b,), tk - 1), smooth=True)
-    worst = 0.0
     for i in range(b):
         for j in range(2):
-            worst = max(worst, abs(ours[i, j] - float(maxes_t[i][j])))
-    # kernel corner weight * neighbour prob — empirically < 0.05
-    assert worst < 0.05, worst
+            np.testing.assert_allclose(
+                ours[i, j], float(maxes_t[i][j]), rtol=2e-5, atol=2e-6)
+
+
+def test_max_attention_smoothing_eot_boundary_exact(ref_weg):
+    """Same exactness on the normalize_eot path (dynamic slice end):
+    focus at both edges of a [1, eot) region with eot < Tk - 1."""
+    rng = np.random.default_rng(5)
+    att = _rand_att(rng, b=1, tk=12)
+    eot = 8
+    batch_idxs = [[1, 3, eot - 1]]
+    maxes_t = _torch_chain(ref_weg, att, batch_idxs, smooth=True, eot=eot)
+    ours, _ = _ours_chain(att, np.asarray(batch_idxs, np.int32),
+                          np.ones((1, 3), bool), np.asarray([eot]),
+                          smooth=True)
+    for j in range(3):
+        np.testing.assert_allclose(
+            ours[0, j], float(maxes_t[0][j]), rtol=2e-5, atol=2e-6)
 
 
 def test_max_attention_eot_normalized(ref_weg):
