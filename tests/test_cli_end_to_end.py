@@ -4,6 +4,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compile/oracle heavy (see pyproject addopts)
 import yaml
 
 from convofusion_tpu.config import DEFAULTS_DIR

@@ -17,6 +17,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile/oracle heavy (see pyproject addopts)
+
 torch = pytest.importorskip("torch")
 
 from convofusion_tpu.data.dataset import (

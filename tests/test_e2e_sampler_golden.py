@@ -23,6 +23,8 @@ from types import SimpleNamespace
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile/oracle heavy (see pyproject addopts)
+
 import jax
 import jax.numpy as jnp
 

@@ -101,6 +101,7 @@ def test_alignment_gahr_perfect_and_offset():
     assert far < 0.1
 
 
+@pytest.mark.slow
 def test_evaluate_results_over_dump(tmp_path):
     from convofusion_tpu.data.audio import save_wav
     from convofusion_tpu.eval.run import evaluate_results

@@ -16,6 +16,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile/oracle heavy (see pyproject addopts)
+
 torch = pytest.importorskip("torch")
 
 

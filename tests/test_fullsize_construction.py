@@ -2,6 +2,8 @@
 (t5-base stack, 9-layer denoiser, 5-layer VAE) and initialize params."""
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compile/oracle heavy (see pyproject addopts)
 import jax
 
 

@@ -1,5 +1,6 @@
 """Fused 5-stream cross-attention must match the unfused reference path
 exactly (same params through the converters)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -18,6 +19,7 @@ def _cond(key, bs):
             for s, k in zip(COND_STREAMS, ks)}
 
 
+@pytest.mark.slow
 def test_fused_denoiser_matches_unfused():
     bs = 2
     unfused = Denoiser(nfeats=189, latent_dim=32, ff_size=128,

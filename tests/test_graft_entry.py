@@ -10,6 +10,8 @@ import sys
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compile/oracle heavy (see pyproject addopts)
 import jax
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(

@@ -1,5 +1,6 @@
 """The guidance-aware denoiser path must exactly match tiling the batch 7x
 with per-branch assembled conditions (the reference's formulation)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -21,6 +22,7 @@ def _cond(key, bs):
             for s, k in zip(COND_STREAMS, ks)}
 
 
+@pytest.mark.slow
 def test_guided_matches_tiled_assembly():
     bs = 2
     den = Denoiser(nfeats=189, latent_dim=32, ff_size=128, num_layers=3,
@@ -71,6 +73,7 @@ def test_guided_matches_tiled_assembly():
             rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_single_row_uncond_matches_tiled_uncond():
     """encode_uncond now returns (1, ...) broadcastable rows; the guided
     sampler must produce the same latents as with the rows tiled to B

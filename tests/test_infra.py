@@ -1,5 +1,6 @@
 """Infra pieces: text-embedding cache, progress logger, checkpoint
 surgeries."""
+import pytest
 import logging
 
 import numpy as np
@@ -90,6 +91,7 @@ def test_aggregate_terms_skips_nan_steps():
     assert aggregate_terms([], "train") == {}
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_roundtrip(tmp_path):
     """save_checkpoint + load_checkpoint(opt_state_template=...) must
     return an optimizer state the jitted step can keep training with —

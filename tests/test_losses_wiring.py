@@ -29,6 +29,7 @@ def _model_and_batch(n=8, **loss_overrides):
     return model, params, batch
 
 
+@pytest.mark.slow
 def test_prior_loss_term_and_gradients():
     model, params, batch = _model_and_batch(LAMBDA_PRIOR=0.5)
     loss, terms = jax.jit(model.train_diffusion_loss)(
@@ -67,6 +68,7 @@ def test_prior_loss_chunks_batch():
         float(out["inst_loss"]) + 0.25 * float(out["prior_loss"]), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_prior_loss_rejects_x_prediction():
     cfg = tiny_config("diffusion")
     cfg.LOSS["LAMBDA_PRIOR"] = 0.5
@@ -78,6 +80,7 @@ def test_prior_loss_rejects_x_prediction():
         model.train_diffusion_loss(params, batch, jax.random.PRNGKey(1))
 
 
+@pytest.mark.slow
 def test_guided_attention_term_and_gradients():
     model, params, batch = _model_and_batch(
         n=4, LAMBDA_GUIDED_ATTENTION=0.1)
@@ -124,6 +127,7 @@ def test_guided_attention_golden_vs_torch(reference_path):
     np.testing.assert_allclose(float(ours), float(ref_loss), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_prior_loss_odd_batch_chunks_like_torch():
     """torch.chunk gives the first half the extra row (convofusion.py:592)."""
     model, params, batch = _model_and_batch(n=5, LAMBDA_PRIOR=0.5)
@@ -132,6 +136,7 @@ def test_prior_loss_odd_batch_chunks_like_torch():
     assert "prior_loss" in terms and np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_prior_plus_latent_restricts_latent_to_main_chunk():
     """With BOTH lambdas nonzero the latent term must cover the main
     (conditional) chunk only — the prior half is already consumed by

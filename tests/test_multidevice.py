@@ -1,5 +1,7 @@
 """Multi-device behavior on the virtual 8-CPU mesh: sharded training step
 equals single-device numerics; sharded sampling runs; TP placement works."""
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -13,6 +15,8 @@ from convofusion_tpu.data.synthetic import (
 from convofusion_tpu.models.convofusion import Convofusion
 from convofusion_tpu.parallel.mesh import create_mesh
 from convofusion_tpu.train.trainer import Trainer
+
+pytestmark = pytest.mark.slow  # compile/oracle heavy (see pyproject addopts)
 
 
 def test_sharded_train_step_matches_single_device():

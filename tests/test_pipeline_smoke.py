@@ -59,6 +59,7 @@ def test_vae_roundtrip_shapes():
     assert recon.shape == motion.shape
 
 
+@pytest.mark.slow
 def test_diffusion_train_loss_and_grads(diff_model):
     model, params, raw, batch, _ = diff_model
     loss, losses = jax.jit(model.train_diffusion_loss)(
@@ -102,6 +103,7 @@ def test_guided_sampling_ddpm(diff_model):
     assert np.isfinite(np.asarray(motion)).all()
 
 
+@pytest.mark.slow
 def test_guided_sampling_ddim_50():
     cfg = tiny_config("diffusion")
     cfg.model.scheduler["variant"] = "ddim"
@@ -117,6 +119,7 @@ def test_guided_sampling_ddim_50():
     assert np.isfinite(np.asarray(motion)).all()
 
 
+@pytest.mark.slow
 def test_weg_sampling(diff_model):
     model, params, raw, batch, tb_lsn = diff_model
     wrapped = model.tokenizer.wrapped_texts(raw["text_lsn"])
@@ -141,6 +144,7 @@ def test_attention_capture(diff_model):
     assert att_seq["tlsn"].shape[3] == 16
 
 
+@pytest.mark.slow
 def test_vae_diffusion_joint_stage(diff_model):
     model, params, raw, batch, _ = diff_model
     model_vd = model  # same modules; stage string only affects dispatch

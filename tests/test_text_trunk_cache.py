@@ -4,6 +4,7 @@ activations out of the train step must not change the math.
 The trunk is frozen and runs in eval mode (reference t5.py:35-37), so
 its output is a pure function of the text; caching it removes ~3/4 of
 the train-step FLOPs.  The trainable projection stays in-graph."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,7 @@ def _trunk_batch(model, params, batch):
     return out
 
 
+@pytest.mark.slow
 def test_precomputed_trunk_loss_and_grads_match_ids_path():
     cfg = tiny_config("diffusion")
     model = Convofusion(cfg)

@@ -21,6 +21,8 @@ import contextlib
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile/oracle heavy (see pyproject addopts)
+
 import jax.numpy as jnp
 import jax
 
