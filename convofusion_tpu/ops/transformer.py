@@ -346,13 +346,71 @@ class TransformerDecoderLayer2Att(nn.Module):
         tgt = tgt + drop(tgt2)
         return tgt, att
 
+    def cross_kv(self, mem_real, mem_unc):
+        """Per-stream LayerNorm + K/V projections for both guidance
+        variants — every part of the cross-attention that does not
+        depend on the latent queries.  With a scalar scan timestep this
+        is computable ONCE per (step, layer) and shared by
+        :meth:`guided` and :meth:`forward_kv` (the WEG text-only
+        gradient passes), instead of re-running per denoiser call.
+
+        Returns {stream: ((k_r, v_r), (k_u, v_u))}."""
+        kv = {}
+        for stream in COND_STREAMS:
+            mod = self.cross[stream]
+            mem_r = self.stream_norms[stream](mem_real[stream])
+            mem_u = self.stream_norms[stream](mem_unc[stream])
+            kv[stream] = (mod.project_kv(mem_r), mod.project_kv(mem_u))
+        return kv
+
+    def forward_kv(self, tgt, kv, select, time_embed, mem_masks=None,
+                   query_pos=None, deterministic: bool = True):
+        """Standard forward (:meth:`__call__`) with the memory-side
+        LN + K/V replaced by the precomputed projections of
+        :meth:`cross_kv`.  ``select[stream]`` picks the variant ('real'
+        or 'unc'); shared (1, Tk, D) uncond rows broadcast against the
+        batch (grouped_attend)."""
+        mem_masks = mem_masks or {}
+        drop = lambda x: self.drop(x, deterministic=deterministic)  # noqa
+
+        tgt2 = self.norm1(tgt)
+        q = k = _with_pos(tgt2, query_pos)
+        sa, _ = self.self_attn(q, k, tgt2, deterministic=deterministic)
+        tgt = tgt + drop(sa)
+        tgt = tgt + self.time_block1(tgt, time_embed, deterministic)
+
+        tgt2 = self.norm2(tgt)
+        q_cond = _with_pos(tgt2, query_pos)
+        branch_outs = []
+        att = {}
+        for stream in COND_STREAMS:
+            mod = self.cross[stream]
+            (k_r, v_r), (k_u, v_u) = kv[stream]
+            kk, vv = ((k_r, v_r) if select[stream] == "real"
+                      else (k_u, v_u))
+            o, w = mod.grouped_attend(
+                mod.q_proj(q_cond)[None], kk, vv,
+                mem_masks.get(stream))
+            branch_outs.append(mod.out_proj(o[0]))
+            att[stream] = w[0]
+        tgt2 = self.att_fuser(jnp.concatenate(branch_outs, axis=-1))
+        tgt = tgt + drop(tgt2)
+
+        tgt = tgt + self.time_block2(tgt, time_embed, deterministic)
+        tgt2 = self.ffn(self.norm3(tgt), deterministic=deterministic)
+        tgt = tgt + drop(tgt2)
+        return tgt, att
+
     def guided(self, tgt7, mem_real, mem_unc, time_embed,
                masks_real=None, masks_unc=None,
-               real_branches=None, deterministic: bool = True):
+               real_branches=None, deterministic: bool = True,
+               kv=None):
         """tgt7 (G, B, Tq, D) guidance-branch-major latents; mem_real /
         mem_unc (B, Tk_s, D) per stream; time_embed (B, 1, D);
         ``real_branches[s]`` = sorted tuple of branch indices where the
         stream is real (all others use the uncond variant).
+        ``kv`` (optional): precomputed :meth:`cross_kv` output — skips
+        the memory-side LN + K/V work entirely.
 
         Returns (tgt7, att) with att[stream] = (B, Tq, Tk_s) of the LAST
         real branch (the full-condition branch the samplers keep,
@@ -381,10 +439,13 @@ class TransformerDecoderLayer2Att(nn.Module):
             mod = self.cross[stream]
             r_idx = list(real_branches[stream])
             u_idx = [i for i in range(g) if i not in real_branches[stream]]
-            mem_r = self.stream_norms[stream](mem_real[stream])
-            mem_u = self.stream_norms[stream](mem_unc[stream])
-            k_r, v_r = mod.project_kv(mem_r)
-            k_u, v_u = mod.project_kv(mem_u)
+            if kv is not None:
+                (k_r, v_r), (k_u, v_u) = kv[stream]
+            else:
+                mem_r = self.stream_norms[stream](mem_real[stream])
+                mem_u = self.stream_norms[stream](mem_unc[stream])
+                k_r, v_r = mod.project_kv(mem_r)
+                k_u, v_u = mod.project_kv(mem_u)
             q_all = mod.q_proj(tgt2)  # (G, B, Tq, D)
             o_r, w_r = mod.grouped_attend(
                 q_all[jnp.asarray(r_idx)], k_r, v_r,
@@ -446,17 +507,42 @@ class DenoiserDecoder(nn.Module):
         out = self.final_norm(out)
         return out, att_mats
 
+    def precompute_kv(self, mem_real, mem_unc):
+        """Per-layer :meth:`TransformerDecoderLayer2Att.cross_kv` — the
+        latent-independent memory-side work of the whole stack."""
+        return [layer.cross_kv(mem_real, mem_unc)
+                for layer in self.layers]
+
+    def forward_kv(self, tgt, kvs, select, time_embed, mem_masks=None,
+                   query_pos=None, deterministic: bool = True):
+        """Standard stack forward over precomputed per-layer K/V
+        (:meth:`precompute_kv`); att[stream]: (B, L, Tq, Tk)."""
+        att_per_layer = {s: [] for s in COND_STREAMS}
+        out = tgt
+        for layer, kv in zip(self.layers, kvs):
+            out, att = layer.forward_kv(out, kv, select, time_embed,
+                                        mem_masks, query_pos,
+                                        deterministic)
+            for s in COND_STREAMS:
+                att_per_layer[s].append(att[s])
+        att_mats = {
+            s: jnp.stack(v, axis=1) for s, v in att_per_layer.items()
+        }
+        out = self.final_norm(out)
+        return out, att_mats
+
     def guided(self, tgt7, mem_real, mem_unc, time_embed,
                masks_real=None, masks_unc=None, real_branches=None,
-               deterministic: bool = True):
+               deterministic: bool = True, kvs=None):
         """Guidance-aware stack; att[stream] is the full-cond branch's
-        (B, L, Tq, Tk)."""
+        (B, L, Tq, Tk).  ``kvs``: optional precompute_kv output."""
         att_per_layer = {s: [] for s in COND_STREAMS}
         out = tgt7
-        for layer in self.layers:
+        for i, layer in enumerate(self.layers):
             out, att = layer.guided(
                 out, mem_real, mem_unc, time_embed, masks_real,
-                masks_unc, real_branches, deterministic)
+                masks_unc, real_branches, deterministic,
+                kv=None if kvs is None else kvs[i])
             for s in COND_STREAMS:
                 att_per_layer[s].append(att[s])
         att_mats = {

@@ -119,3 +119,66 @@ def test_single_row_uncond_matches_tiled_uncond():
     # process's 1/sqrt(alpha) scalings across steps
     np.testing.assert_allclose(np.asarray(lat1), np.asarray(latB),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_precomputed_kv_matches_direct_paths():
+    """Per-step memory K/V sharing: (a) forward_kv with the text-only
+    variant selection == __call__ over the assembled branch-1 condition;
+    (b) guided(kvs=precompute_step_kv(...)) == guided without kvs."""
+    bs = 2
+    den = Denoiser(nfeats=189, latent_dim=32, ff_size=128, num_layers=3,
+                   num_heads=4, dropout=0.0, text_encoded_dim=D,
+                   audio_encoded_dim=D)
+    sample = jax.random.normal(jax.random.PRNGKey(10), (bs, 16, 32))
+    t = jnp.asarray(414)
+    cond_real = _cond(jax.random.PRNGKey(11), bs)
+    # single-row uncond (encode_uncond layout)
+    cond_unc = _cond(jax.random.PRNGKey(12), 1)
+    masks_real = {
+        "tlsn": jnp.zeros((bs, 7), bool).at[0, 5:].set(True),
+        "spkemb": jnp.zeros((bs, 9), bool).at[1, 6:].set(True),
+    }
+    masks_unc = {
+        "tlsn": jnp.zeros((1, 7), bool).at[:, 3:].set(True),
+        "spkemb": jnp.zeros((1, 9), bool).at[:, 2:].set(True),
+    }
+    params = den.init(jax.random.PRNGKey(13), sample, t, cond_real)
+
+    kvs = den.apply(params, t, cond_real, cond_unc,
+                    method=den.precompute_step_kv)
+
+    # (a) text-only pass: tlsn real, all other streams uncond (branch 1)
+    select = {s: ("real" if s == "tlsn" else "unc") for s in COND_STREAMS}
+    out_kv, att_kv = den.apply(
+        params, sample, t, kvs,
+        {s: (masks_real[s] if s == "tlsn" else masks_unc[s])
+         for s in ("tlsn", "spkemb")},
+        select, method=den.forward_kv)
+    cond_text = {s: (cond_real[s] if s == "tlsn" else
+                     jnp.broadcast_to(cond_unc[s],
+                                      (bs,) + cond_unc[s].shape[1:]))
+                 for s in COND_STREAMS}
+    masks_text = {s: (masks_real[s] if s == "tlsn" else
+                      jnp.broadcast_to(masks_unc[s],
+                                       (bs,) + masks_unc[s].shape[1:]))
+                  for s in ("tlsn", "spkemb")}
+    out_ref, att_ref = den.apply(params, sample, t, cond_text, masks_text)
+    np.testing.assert_allclose(np.asarray(out_kv), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-6)
+    for s in COND_STREAMS:
+        np.testing.assert_allclose(
+            np.asarray(att_kv[s]), np.asarray(att_ref[s]),
+            rtol=1e-5, atol=1e-6)
+
+    # (b) guided with precomputed kvs == guided computing its own
+    g_kv, ga_kv = den.apply(params, sample, t, cond_real, cond_unc,
+                            masks_real, masks_unc, method=den.guided,
+                            kvs=kvs)
+    g_ref, ga_ref = den.apply(params, sample, t, cond_real, cond_unc,
+                              masks_real, masks_unc, method=den.guided)
+    np.testing.assert_allclose(np.asarray(g_kv), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-7)
+    for s in COND_STREAMS:
+        np.testing.assert_allclose(
+            np.asarray(ga_kv[s]), np.asarray(ga_ref[s]),
+            rtol=1e-6, atol=1e-7)
