@@ -48,6 +48,11 @@ def main():
                     help="sample mode: enable word-excitation guidance "
                          "(2 focus words/sample, config thresholds) to "
                          "measure the WEG sampling mode's cost")
+    ap.add_argument("--stage", default="diffusion",
+                    choices=["diffusion", "vae"],
+                    help="train mode: which training stage to time "
+                         "(vae = stage-1 config_vae_beatdnd.yaml, "
+                         "BASELINE milestone #1/#3)")
     ap.add_argument("--cached-text", action="store_true",
                     help="train mode: precompute the frozen T5 trunk "
                          "activations (cli/train.py's "
@@ -96,11 +101,14 @@ def main():
     )
     from convofusion_tpu.models.convofusion import Convofusion
 
+    vae_stage = args.mode == "train" and args.stage == "vae"
     if args.tiny:
-        cfg = tiny_config("diffusion")
+        cfg = tiny_config("vae" if vae_stage else "diffusion")
     else:
-        cfg = load_config(
-            os.path.join(DEFAULTS_DIR, "config_cf_beatdnd.yaml"))
+        cfg = load_config(os.path.join(
+            DEFAULTS_DIR,
+            "config_vae_beatdnd.yaml" if vae_stage
+            else "config_cf_beatdnd.yaml"))
         cfg.DATASET.NFEATS = 189
         cfg.DATASET.NJOINTS = 63
     cfg.model.scheduler["variant"] = args.sampler
@@ -180,8 +188,12 @@ def main():
         return
 
     raw = synthetic_raw_batch(0, args.batch)
-    batch, _, _ = prepare_arrays(model, raw)
-    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    if vae_stage:
+        # stage-1 batch is motion only (beatdnd_vae_collate semantics)
+        batch = {"motion": jnp.asarray(raw["motion_lsn"])}
+    else:
+        batch, _, _ = prepare_arrays(model, raw)
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
 
     n_chips = 1
     if args.mesh:
@@ -207,6 +219,10 @@ def main():
     if args.mode == "train":
         import optax
 
+        if args.cached_text and vae_stage:
+            print("# --cached-text is diffusion-stage only; ignoring.",
+                  file=sys.stderr)
+            args.cached_text = False
         if args.cached_text:
             # steady state of cli/train.py's frozen-trunk cache: trunk
             # activations are batch inputs (ids are not shipped at all;
@@ -229,10 +245,13 @@ def main():
 
         # donate params/opt-state like train/trainer.py's step — without
         # donation XLA must double-buffer both trees
+        loss_fn = (model.train_vae_loss if vae_stage
+                   else model.train_diffusion_loss)
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(p, o, k):
             (loss, _), grads = jax.value_and_grad(
-                model.train_diffusion_loss, has_aux=True)(p, batch, k)
+                loss_fn, has_aux=True)(p, batch, k)
             updates, o = opt.update(grads, o, p)
             return optax.apply_updates(p, updates), o, loss
 
@@ -251,13 +270,15 @@ def main():
         best = min(times)
         clips_per_sec = args.batch / best / n_chips
         result = {
-            "metric": "train_clips_per_sec",
+            "metric": ("train_vae_clips_per_sec" if vae_stage
+                       else "train_clips_per_sec"),
             "value": round(clips_per_sec, 2),
             "unit": "clips/s/chip",
             "vs_baseline": round(clips_per_sec / 50.0, 3),
         }
         print(json.dumps(result))
-        print(f"# TRAIN batch={args.batch} dtype={args.dtype} "
+        print(f"# TRAIN stage={args.stage} "
+              f"batch={args.batch} dtype={args.dtype} "
               f"cached_text={args.cached_text} "
               f"compile={compile_s:.1f}s best={best * 1e3:.1f}ms "
               f"loss={float(loss):.4f}", file=sys.stderr)

@@ -154,3 +154,18 @@ def test_train_vae_then_diffusion_then_generate(workdir):
         assert os.path.exists(os.path.join(d, fname)), fname
     # attention dumps
     assert os.path.isdir(os.path.join(d, "att_tlsn"))
+
+    # close the loop (driver milestone #4): the cli/test.py dump feeds
+    # the offline eval driver unchanged, config -> dump -> metrics JSON
+    import warnings
+
+    from convofusion_tpu.eval.run import evaluate_results
+
+    with warnings.catch_warnings():
+        # random-init FID features warn by design (no released ckpt here)
+        warnings.simplefilter("ignore")
+        metrics = evaluate_results(out_dir, "dyadic", fidnet_path=None)
+    assert metrics["n_samples"] == len(sample_dirs)
+    assert np.isfinite(metrics["jitter"]) and metrics["jitter"] > 0
+    assert np.isfinite(metrics["l1div"])
+    assert np.isfinite(metrics["fid_random_init_features"])
