@@ -38,7 +38,6 @@ from convofusion_tpu.models.tokenizer import (
     make_tokenizer,
 )
 from convofusion_tpu.ops.smoothing import laplace_filter_time
-from convofusion_tpu.ops.transformer import COND_STREAMS
 
 # guidance branch -> condition stream kept real (convofusion.py:528-541):
 # [all_drop, text, audio, spk, apb, lsnid, full]
@@ -629,36 +628,25 @@ class Convofusion:
             max_iter_to_alter = int(wp.get("max_iter_to_alter", 800))
             max_refinement_steps = int(wp.get("max_refinement_steps", 300))
 
-            # per-step K/V sharing (guided layout only): the text-only
-            # condition is guidance branch 1 — a subset of the guided
-            # pass's (real, unc) variants — and with the scan's scalar t
-            # the memory-side LN+K/V is latent-independent, so it is
-            # computed ONCE per step and reused by every text-only
-            # gradient pass (incl. refinement iterations) and by the
-            # guided pass itself
-            share_step_kv = use_guided
-            TEXT_SELECT = {s: ("real" if s == "tlsn" else "unc")
-                           for s in COND_STREAMS}
+            # NB on manual K/V sharing: the memory-side LN+K/V of the
+            # text-only passes is latent-independent and a subset of the
+            # guided pass's variants, so Denoiser.precompute_step_kv /
+            # forward_kv / guided(kvs=) can compute it once per step.
+            # Measured on v5e (r3): 82.9 vs 87.0 clips/s — XLA already
+            # CSEs the identical memory subgraphs across the denoiser
+            # calls inside one scan body, and forcing all 9 layers' K/V
+            # live at once only costs HBM headroom.  The direct path is
+            # kept; the kv API remains for cross-call reuse outside jit.
+            def text_only_att(lat, t):
+                _, att = self.denoiser.apply(
+                    {"params": params["denoiser"]}, lat, t,
+                    weg["cond_text"], weg["masks_text"])
+                return att["tlsn"]
 
-            def make_weg_loss_grad(kvs):
-                if kvs is None:
-                    def text_only_att(lat, t):
-                        _, att = self.denoiser.apply(
-                            {"params": params["denoiser"]}, lat, t,
-                            weg["cond_text"], weg["masks_text"])
-                        return att["tlsn"]
-                else:
-                    def text_only_att(lat, t):
-                        _, att = self.denoiser.apply(
-                            {"params": params["denoiser"]}, lat, t,
-                            kvs, weg["masks_text"], TEXT_SELECT,
-                            method=self.denoiser.forward_kv)
-                        return att["tlsn"]
-
-                loss = weg_lib.make_weg_loss(
-                    text_only_att, weg["focus_idx"], weg["focus_valid"],
-                    weg["eot_idx"])
-                return jax.value_and_grad(loss, argnums=0)
+            weg_loss = weg_lib.make_weg_loss(
+                text_only_att, weg["focus_idx"], weg["focus_valid"],
+                weg["eot_idx"])
+            weg_loss_grad = jax.value_and_grad(weg_loss, argnums=0)
 
         def body(carry, inp):
             lat, k, prev_d, prev_lambda = carry
@@ -678,16 +666,9 @@ class Convofusion:
                 lat = jnp.concatenate(
                     [noised, lat[:, preseq_len:, :]], axis=1)
 
-            step_kvs = None
             if weg_enabled:
                 thr = thresholds[i]
                 step_size = step_sizes[i]
-                if share_step_kv:
-                    step_kvs = self.denoiser.apply(
-                        {"params": params["denoiser"]}, t, cond_real,
-                        cond_unc,
-                        method=self.denoiser.precompute_step_kv)
-                weg_loss_grad = make_weg_loss_grad(step_kvs)
 
                 def refine(lat):
                     loss, _ = weg_loss_grad(lat, t)
@@ -713,7 +694,7 @@ class Convofusion:
                 noise_pred_b, att = self.denoiser.apply(
                     {"params": params["denoiser"]}, lat, t, cond_real,
                     cond_unc, masks_real, masks_unc,
-                    method=self.denoiser.guided, kvs=step_kvs)
+                    method=self.denoiser.guided)
                 att_full = att  # already the full-cond branch
                 if use_pallas:
                     from convofusion_tpu.ops.pallas_step import (
