@@ -671,18 +671,28 @@ class Convofusion:
                 step_size = step_sizes[i]
 
                 def refine(lat):
-                    loss, _ = weg_loss_grad(lat, t)
-                    need = (thr > 0) & (loss > 1.0 - thr)
+                    # one fused loss+grad pass decides refinement AND
+                    # feeds the single gradient step when refinement does
+                    # not trigger (the common case: thresholds exist at a
+                    # few steps only) — the reference's second text-only
+                    # pass over unchanged latents is mathematically the
+                    # same values (convofusion.py:437-496), so reuse them
+                    # instead of recomputing (r3: 87.0 -> measured below)
+                    loss0, grad0 = weg_loss_grad(lat, t)
+                    need = (thr > 0) & (loss0 > 1.0 - thr)
 
-                    def do_refine(lat):
+                    def with_refinement(lat):
                         new_lat, _ = weg_lib.iterative_refinement(
                             weg_loss_grad, lat, t, thr, step_size,
                             max_refinement_steps)
-                        return new_lat
+                        # post-refinement latents changed: fresh pass
+                        loss, grad = weg_loss_grad(new_lat, t)
+                        return new_lat, loss, grad
 
-                    lat = jax.lax.cond(need, do_refine, lambda x: x, lat)
+                    lat, loss, grad = jax.lax.cond(
+                        need, with_refinement,
+                        lambda lat: (lat, loss0, grad0), lat)
                     # single gradient step while i < max_iter_to_alter
-                    loss, grad = weg_loss_grad(lat, t)
                     lat = jnp.where(
                         (i < max_iter_to_alter) & (loss > 0),
                         lat - step_size * grad, lat)
