@@ -637,11 +637,24 @@ class Convofusion:
             # calls inside one scan body, and forcing all 9 layers' K/V
             # live at once only costs HBM headroom.  The direct path is
             # kept; the kv API remains for cross-call reuse outside jit.
-            def text_only_att(lat, t):
-                _, att = self.denoiser.apply(
-                    {"params": params["denoiser"]}, lat, t,
-                    weg["cond_text"], weg["masks_text"])
-                return att["tlsn"]
+            if self.denoiser.fuse_streams:
+                def text_only_att(lat, t):
+                    _, att = self.denoiser.apply(
+                        {"params": params["denoiser"]}, lat, t,
+                        weg["cond_text"], weg["masks_text"])
+                    return att["tlsn"]
+            else:
+                # single-row uncond streams stay at batch 1 through the
+                # memory-side LN+K/V (Denoiser.text_only): unlike the
+                # cross-call kv reuse above, this is a real FLOP cut —
+                # the broadcast-B uncond memories never existed in the
+                # guided pass, so CSE could not share them
+                def text_only_att(lat, t):
+                    _, att = self.denoiser.apply(
+                        {"params": params["denoiser"]}, lat, t,
+                        weg["cond_text"], weg["masks_text"],
+                        method=self.denoiser.text_only)
+                    return att["tlsn"]
 
             weg_loss = weg_lib.make_weg_loss(
                 text_only_att, weg["focus_idx"], weg["focus_valid"],

@@ -175,6 +175,35 @@ class Denoiser(nn.Module):
         x = self.query_pos(x)
         return x, time_emb
 
+    def text_only(
+        self,
+        sample: jnp.ndarray,
+        timesteps: jnp.ndarray,
+        cond: Dict[str, jnp.ndarray],
+        cond_masks: Optional[Dict[str, jnp.ndarray]] = None,
+        deterministic: bool = True,
+    ):
+        """:meth:`__call__` for the WEG text-only condition (guidance
+        branch 1: tlsn real, rest uncond, convofusion.py:449-450) with
+        SINGLE-ROW streams kept at batch 1 through the memory-side
+        LN + K/V — the guided path's shared-row trick (encode_uncond
+        rows are identical across the batch).  Requires a scalar
+        timestep so the time-embedding row is batch-invariant.  ~65% of
+        the pass's memory tokens (spk 202 + mel 161 + apb 8 + id 1 of
+        574) drop from B rows to 1."""
+        x, time_emb = self._embed_sample(sample, timesteps)
+        mem = {}
+        for i, stream in enumerate(COND_STREAMS):
+            te = (time_emb[:1] if cond[stream].shape[0] == 1
+                  else time_emb)
+            m = cond[stream] + te
+            m = m + self.condition_embedding(
+                jnp.full((1,), i, jnp.int32))[None]
+            mem[stream] = self.mem_pos(m)
+        out, att_mats = self.decoder.forward_mem(
+            x, mem, time_emb, cond_masks, deterministic=deterministic)
+        return self.latent_proj(out), att_mats
+
     def precompute_step_kv(self, timesteps, cond_real, cond_unc):
         """Per-layer, per-stream memory-side LN + K/V for both guidance
         variants — the latent-independent share of a denoiser step

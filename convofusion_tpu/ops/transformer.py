@@ -401,6 +401,47 @@ class TransformerDecoderLayer2Att(nn.Module):
         tgt = tgt + drop(tgt2)
         return tgt, att
 
+    def forward_mem(self, tgt, memory: Dict[str, jnp.ndarray], time_embed,
+                    mem_masks: Optional[Dict[str, jnp.ndarray]] = None,
+                    query_pos=None, deterministic: bool = True):
+        """:meth:`__call__` semantics with per-stream memories of MIXED
+        batch size: streams whose rows are shared across the batch (the
+        single-row uncond conditions of encode_uncond) stay at batch 1
+        through LayerNorm + K/V and broadcast inside grouped_attend —
+        the guided path's shared-row trick applied to a plain forward
+        (used by the WEG text-only gradient pass, where 4 of 5 streams
+        are the uncond variant).  K/V is computed inside the layer, so
+        no cross-layer liveness is added."""
+        mem_masks = mem_masks or {}
+        drop = lambda x: self.drop(x, deterministic=deterministic)  # noqa
+
+        tgt2 = self.norm1(tgt)
+        q = k = _with_pos(tgt2, query_pos)
+        sa, _ = self.self_attn(q, k, tgt2, deterministic=deterministic)
+        tgt = tgt + drop(sa)
+        tgt = tgt + self.time_block1(tgt, time_embed, deterministic)
+
+        tgt2 = self.norm2(tgt)
+        q_cond = _with_pos(tgt2, query_pos)
+        branch_outs = []
+        att = {}
+        for stream in COND_STREAMS:
+            mod = self.cross[stream]
+            mem = self.stream_norms[stream](memory[stream])
+            kk, vv = mod.project_kv(mem)
+            o, w = mod.grouped_attend(
+                mod.q_proj(q_cond)[None], kk, vv,
+                mem_masks.get(stream))
+            branch_outs.append(mod.out_proj(o[0]))
+            att[stream] = w[0]
+        tgt2 = self.att_fuser(jnp.concatenate(branch_outs, axis=-1))
+        tgt = tgt + drop(tgt2)
+
+        tgt = tgt + self.time_block2(tgt, time_embed, deterministic)
+        tgt2 = self.ffn(self.norm3(tgt), deterministic=deterministic)
+        tgt = tgt + drop(tgt2)
+        return tgt, att
+
     def guided(self, tgt7, mem_real, mem_unc, time_embed,
                masks_real=None, masks_unc=None,
                real_branches=None, deterministic: bool = True,
@@ -512,6 +553,24 @@ class DenoiserDecoder(nn.Module):
         latent-independent memory-side work of the whole stack."""
         return [layer.cross_kv(mem_real, mem_unc)
                 for layer in self.layers]
+
+    def forward_mem(self, tgt, memory, time_embed, mem_masks=None,
+                    query_pos=None, deterministic: bool = True):
+        """Mixed-batch-memory stack forward (layer.forward_mem);
+        att[stream]: (B, L, Tq, Tk)."""
+        att_per_layer = {s: [] for s in COND_STREAMS}
+        out = tgt
+        for layer in self.layers:
+            out, att = layer.forward_mem(out, memory, time_embed,
+                                         mem_masks, query_pos,
+                                         deterministic)
+            for s in COND_STREAMS:
+                att_per_layer[s].append(att[s])
+        att_mats = {
+            s: jnp.stack(v, axis=1) for s, v in att_per_layer.items()
+        }
+        out = self.final_norm(out)
+        return out, att_mats
 
     def forward_kv(self, tgt, kvs, select, time_embed, mem_masks=None,
                    query_pos=None, deterministic: bool = True):

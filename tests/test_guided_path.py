@@ -182,3 +182,52 @@ def test_precomputed_kv_matches_direct_paths():
         np.testing.assert_allclose(
             np.asarray(ga_kv[s]), np.asarray(ga_ref[s]),
             rtol=1e-6, atol=1e-7)
+
+
+def test_text_only_shared_rows_matches_broadcast():
+    """Denoiser.text_only with single-row uncond streams must equal the
+    standard __call__ over the broadcast-to-B condition."""
+    bs = 3
+    den = Denoiser(nfeats=189, latent_dim=32, ff_size=128, num_layers=3,
+                   num_heads=4, dropout=0.0, text_encoded_dim=D,
+                   audio_encoded_dim=D)
+    sample = jax.random.normal(jax.random.PRNGKey(20), (bs, 16, 32))
+    t = jnp.asarray(123)
+    cond_real = _cond(jax.random.PRNGKey(21), bs)
+    cond_unc = _cond(jax.random.PRNGKey(22), 1)
+    cond_text = {s: (cond_real[s] if s == "tlsn" else cond_unc[s])
+                 for s in COND_STREAMS}
+    masks_text = {
+        "tlsn": jnp.zeros((bs, 7), bool).at[1, 4:].set(True),
+        "spkemb": jnp.zeros((1, 9), bool).at[:, 3:].set(True),
+    }
+    params = den.init(jax.random.PRNGKey(23), sample, t, cond_real)
+
+    out_s, att_s = den.apply(params, sample, t, cond_text, masks_text,
+                             method=den.text_only)
+    bcast = {s: jnp.broadcast_to(v, (bs,) + v.shape[1:])
+             for s, v in cond_text.items()}
+    bmasks = {s: jnp.broadcast_to(v, (bs,) + v.shape[1:])
+              for s, v in masks_text.items()}
+    out_b, att_b = den.apply(params, sample, t, bcast, bmasks)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_b),
+                               rtol=1e-5, atol=1e-6)
+    for s in COND_STREAMS:
+        np.testing.assert_allclose(
+            np.asarray(att_s[s]), np.asarray(att_b[s]),
+            rtol=1e-5, atol=1e-6)
+
+    # gradients w.r.t. the latents (the WEG use) agree too
+    def loss_shared(x):
+        _, att = den.apply(params, x, t, cond_text, masks_text,
+                           method=den.text_only)
+        return jnp.sum(att["tlsn"] ** 2)
+
+    def loss_bcast(x):
+        _, att = den.apply(params, x, t, bcast, bmasks)
+        return jnp.sum(att["tlsn"] ** 2)
+
+    g_s = jax.grad(loss_shared)(sample)
+    g_b = jax.grad(loss_bcast)(sample)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_b),
+                               rtol=1e-4, atol=1e-6)
