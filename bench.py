@@ -152,10 +152,14 @@ def main():
                                           n_parts=args.parts)
         n_windows = 2 * args.parts - 1
 
+        # --weg: the reference rollout runs word-excitation guidance by
+        # default (unbounded_synthesis.py:322-360); 'random' selection
+        # works on synthetic text
+        r_weg = "random" if args.weg else "no"
         t0 = time.time()
         outs = rollout(model, params, long_batch, jax.random.PRNGKey(1),
                        num_inference_steps=args.steps, verbose=False,
-                       data_sharding=data_sharding)
+                       data_sharding=data_sharding, weg_type=r_weg)
         compile_s = time.time() - t0
         assert len(outs) == n_windows
         import numpy as np
@@ -167,12 +171,13 @@ def main():
             t0 = time.time()
             rollout(model, params, long_batch, jax.random.PRNGKey(2 + i),
                     num_inference_steps=args.steps, verbose=False,
-                    data_sharding=data_sharding)
+                    data_sharding=data_sharding, weg_type=r_weg)
             times.append(time.time() - t0)
         best = min(times)
         windows_per_sec = args.batch * n_windows / best / n_chips_r
         result = {
-            "metric": f"rollout_windows_per_sec_{args.steps}step",
+            "metric": f"rollout_windows_per_sec_{args.steps}step"
+                      + ("_weg" if args.weg else ""),
             "value": round(windows_per_sec, 2),
             "unit": "windows/s/chip",
             "vs_baseline": round(windows_per_sec / 50.0, 3),
