@@ -193,14 +193,27 @@ def main(argv=None):
     host_shard = ((jax.process_index(), jax.process_count())
                   if jax.process_count() > 1 else None)
 
+    # multi-host: never let one host execute a collective program while
+    # another is still compiling it — compile-cache skew exceeds gloo's
+    # ~30 s rendezvous window (parallel/mesh.compile_synced). The AOT
+    # executable is shape-specialized; shapes are static here
+    # (drop_last train loader, fixed pad lengths).
+    from convofusion_tpu.parallel.mesh import compile_synced
+
+    step_exec = None
     val_fn = None
+    val_exec = None
     for epoch in range(start_epoch, int(cfg.TRAIN.END_EPOCH)):
         loader = datamodule.train_dataloader(seed=epoch, shard=host_shard)
         term_dicts = []
         t0 = time.time()
         for batch in prefetch(loader, stage, depth=prefetch_depth):
             key, k = jax.random.split(key)
-            params, opt_state, loss, terms = step_fn(
+            if multihost and step_exec is None:
+                step_exec = compile_synced(
+                    step_fn, (params, opt_state, batch, k), "train_step")
+            params, opt_state, loss, terms = (
+                step_exec if step_exec is not None else step_fn)(
                 params, opt_state, batch, k)
             term_dicts.append(terms)
         epoch_metrics = aggregate(term_dicts, "train")
@@ -228,7 +241,12 @@ def main(argv=None):
             for vbatch in prefetch(val_loader, val_stage,
                                    depth=prefetch_depth):
                 key, k = jax.random.split(key)
-                _, vterms = val_fn(params, vbatch, k)
+                if multihost and val_exec is None:
+                    val_exec = compile_synced(
+                        val_fn, (params, vbatch, k), "val_step")
+                _, vterms = (
+                    val_exec if val_exec is not None else val_fn)(
+                    params, vbatch, k)
                 val_terms.append(vterms)
             val_metrics = aggregate(val_terms, "val")
             if val_metrics:

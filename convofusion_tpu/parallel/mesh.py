@@ -74,6 +74,42 @@ def make_data_parallel_step(step_fn, mesh: Mesh, donate_argnums=()):
     ), batch_spec
 
 
+def process_barrier(name: str, timeout_ms: int = 1_800_000) -> None:
+    """Block until every process reaches this barrier.
+
+    Goes through the coordination service (gRPC) — NOT a device
+    collective — so it is safe to cross while other hosts are still
+    compiling.  ``name`` must be unique per barrier crossing and equal
+    across processes.  No-op single-process.
+    """
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None and jax.process_count() > 1:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
+def compile_synced(jitted, args, name: str,
+                   timeout_ms: int = 1_800_000):
+    """AOT-compile a collective program on this host, then barrier.
+
+    XLA:CPU's gloo rendezvous gives a collective context ~30 s for all
+    ranks to connect.  Compile skew routinely exceeds that: a host that
+    hits the persistent compile cache dispatches immediately while a
+    cache-missing host is still compiling (60-100 s observed on the CPU
+    backend), and the fast host's context init times out, killing the
+    job.  Compiling first (pure host work, no comm) and crossing a
+    coordination barrier bounds the execution skew to milliseconds.
+
+    Returns the AOT ``Compiled`` — call it exactly like the jit fn, but
+    note it is specialized to these arg shapes/dtypes/shardings (fixed
+    in training: drop_last loaders + static pad lengths).
+    """
+    compiled = jitted.lower(*args).compile()
+    process_barrier(f"compile/{name}", timeout_ms)
+    return compiled
+
+
 def local_device_count(mesh: Optional[Mesh] = None) -> int:
     return len(mesh.devices.flatten()) if mesh is not None else \
         jax.local_device_count()

@@ -19,10 +19,37 @@ from typing import Dict, Optional
 import numpy as np
 
 
+def _mp_options():
+    """Process-LOCAL orbax coordination under multihost.
+
+    Saves are process-0-gated of device_get'd (fully host-local) state
+    (cli/train.py); orbax's default options would still run
+    ``sync_global_processes`` barriers across ALL processes inside
+    ``save`` — a collective only process 0 enters, which deadlocks the
+    job (observed: host 0 hung in AsyncCheckpointer.save ->
+    sync_global_devices while host 1 exited).  Restores run on every
+    process but are read-only, so local coordination is correct there
+    too.  Single-process: default options (None)."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return None
+    import orbax.checkpoint as ocp
+
+    me = jax.process_index()
+    return ocp.options.MultiprocessingOptions(
+        primary_host=me, active_processes={me},
+        barrier_sync_key_prefix=f"local{me}")
+
+
 def _checkpointer():
     import orbax.checkpoint as ocp
 
-    return ocp.PyTreeCheckpointer()
+    mp = _mp_options()
+    if mp is None:
+        return ocp.PyTreeCheckpointer()
+    return ocp.Checkpointer(ocp.PyTreeCheckpointHandler(),
+                            multiprocessing_options=mp)
 
 
 _async_ckpt = None
@@ -36,7 +63,10 @@ def _async_checkpointer():
     if _async_ckpt is None:
         import orbax.checkpoint as ocp
 
-        _async_ckpt = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        mp = _mp_options()
+        kwargs = {} if mp is None else {"multiprocessing_options": mp}
+        _async_ckpt = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler(),
+                                            **kwargs)
     return _async_ckpt
 
 

@@ -65,3 +65,53 @@ def test_two_process_training_syncs(tmp_path):
     # training actually progressed (params differ from step to step is
     # implied by a finite, changing loss)
     assert w0["losses"][0] != w0["losses"][-1]
+
+
+CLI_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "multihost_cli_worker.py")
+
+
+def test_two_process_cli_train(tmp_path):
+    """The REAL cli/train.main under 2 processes: host-sharded epoch
+    loader, multihost prepare/prefetch, process-0-gated metrics +
+    checkpoint (device_get save). Both processes must converge to the
+    same params; side outputs appear exactly once."""
+    from convofusion_tpu.data.fixture import make_beat_fixture, make_dnd_fixture
+
+    beat, dnd = tmp_path / "beat", tmp_path / "dnd"
+    beat.mkdir(), dnd.mkdir()
+    make_beat_fixture(str(beat), speakers=("2_scott",), seconds=6.0)
+    make_dnd_fixture(str(dnd), n_sets=1)
+
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, CLI_WORKER, str(pid), "2", str(port),
+             str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost cli worker timed out")
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"cli worker {pid} failed:\n{out[-4000:]}"
+
+    w0 = np.load(tmp_path / "cli_worker_0.npz")
+    w1 = np.load(tmp_path / "cli_worker_1.npz")
+    np.testing.assert_array_equal(w0["params"], w1["params"])
+
+    exp = tmp_path / "experiments" / "convofusion" / "mh_cli"
+    assert (exp / "checkpoints" / "epoch=0").is_dir()
+    # process-0-only metrics jsonl (ADVICE r2: no duplicate side outputs)
+    jsonls = list(exp.glob("*.jsonl"))
+    assert len(jsonls) == 1, jsonls
