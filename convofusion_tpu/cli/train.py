@@ -200,9 +200,42 @@ def main(argv=None):
     # (drop_last train loader, fixed pad lengths).
     from convofusion_tpu.parallel.mesh import compile_synced
 
+    # preemption-aware shutdown (beyond the reference, which dies
+    # uncheckpointed on SIGTERM): multi-host uses JAX's preemption sync
+    # manager — SIGTERM on ANY host makes reached_sync_point return True
+    # on EVERY host at the same global step, so all hosts leave the
+    # collective lockstep together; single-process installs a plain
+    # SIGTERM flag. State is saved before exiting (partial epochs are
+    # saved under their epoch number; resume redoes none, skips the
+    # epoch's remaining batches). TPU.PREEMPTION_CHECKPOINT=0 disables.
+    psm = None
+    sigterm_flag = []
+    if bool(cfg.get("TPU", {}).get("PREEMPTION_CHECKPOINT", True)):
+        if multihost:
+            from jax._src import distributed as _dist
+
+            psm = _dist.global_state.preemption_sync_manager
+        else:
+            import signal
+
+            def _on_sigterm(signum, frame):
+                sigterm_flag.append(True)
+
+            try:
+                signal.signal(signal.SIGTERM, _on_sigterm)
+            except ValueError:  # not the main thread (embedded use)
+                pass
+
+    def preempted(global_step: int) -> bool:
+        if psm is not None:
+            return bool(psm.reached_sync_point(global_step))
+        return bool(sigterm_flag)
+
     step_exec = None
     val_fn = None
     val_exec = None
+    global_step = 0
+    stop = False
     for epoch in range(start_epoch, int(cfg.TRAIN.END_EPOCH)):
         loader = datamodule.train_dataloader(seed=epoch, shard=host_shard)
         term_dicts = []
@@ -216,6 +249,13 @@ def main(argv=None):
                 step_exec if step_exec is not None else step_fn)(
                 params, opt_state, batch, k)
             term_dicts.append(terms)
+            global_step += 1
+            if preempted(global_step):
+                logger.info(
+                    f"preemption signal at epoch {epoch} step "
+                    f"{global_step}: checkpointing and exiting")
+                stop = True
+                break
         epoch_metrics = aggregate(term_dicts, "train")
         mean_loss = epoch_metrics.get("total/train", float("nan"))
         logger.info(
@@ -227,7 +267,7 @@ def main(argv=None):
         # term is aggregated per split like the reference's Losses metric
         # collection (base.py:45-67)
         val_every = int(cfg.LOGGER.get("VAL_EVERY_STEPS", 0) or 0)
-        if val_every and (epoch + 1) % val_every == 0:
+        if val_every and (epoch + 1) % val_every == 0 and not stop:
             if val_fn is None:
                 val_fn = jax.jit(trainer.loss_fn())
             # multi-host: val batches must be host-sharded and assembled
@@ -258,7 +298,7 @@ def main(argv=None):
             metrics.log(epoch_metrics, step=epoch)
         progress.on_epoch_end(epoch, epoch_metrics)
         if is_main and ((epoch + 1) % save_every == 0 or
-                        epoch == int(cfg.TRAIN.END_EPOCH) - 1):
+                        epoch == int(cfg.TRAIN.END_EPOCH) - 1 or stop):
             # process-0-only save of the replicated state: device_get on
             # multihost (params/opt_state are fully replicated over the
             # data mesh, so every host holds the complete value) avoids
@@ -269,6 +309,8 @@ def main(argv=None):
             path = save_checkpoint(ckpt_dir, epoch, tree[0], tree[1],
                                    background=True)
             logger.info(f"saving {path} (async)")
+        if stop:
+            break
     wait_for_checkpoints()
     if metrics is not None:
         metrics.close()

@@ -38,23 +38,26 @@ import yaml  # noqa: E402
 beat = os.path.join(WORKDIR, "beat")
 dnd = os.path.join(WORKDIR, "dnd")
 cfg = {
-    "NAME": "mh_cli",
+    "NAME": os.environ.get("MH_NAME", "mh_cli"),
     "DEBUG": False,
     "FOLDER": os.path.join(WORKDIR, "experiments"),
     "TRAIN": {
         "STAGE": "vae",
         # per-host loader batch; must divide the 2 local devices
         "BATCH_SIZE": 2,
-        "END_EPOCH": 1,
+        "END_EPOCH": int(os.environ.get("MH_END_EPOCH", "1")),
         "OPTIM": {"TYPE": "AdamW", "LR": 1e-3},
     },
     "EVAL": {"BATCH_SIZE": 2},
     "DATASET": {
         "BEATDND": {"ROOT": [beat, dnd], "SPLIT_ROOT": [beat, dnd]},
     },
-    # VAL_EVERY_STEPS=1: also execute the multihost validation branch
-    # (host-sharded drop_last val loader + global val arrays)
-    "LOGGER": {"SACE_CHECKPOINT_EPOCH": 1, "VAL_EVERY_STEPS": 1},
+    # VAL_EVERY_STEPS=1 (default): also execute the multihost validation
+    # branch (host-sharded drop_last val loader + global val arrays)
+    "LOGGER": {
+        "SACE_CHECKPOINT_EPOCH": int(os.environ.get("MH_SACE", "1")),
+        "VAL_EVERY_STEPS": int(os.environ.get("MH_VAL_EVERY", "1")),
+    },
     "model": {
         "latent_dim": [1, 32],
         "motion_vae": {"params": {

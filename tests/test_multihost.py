@@ -115,3 +115,109 @@ def test_two_process_cli_train(tmp_path):
     # process-0-only metrics jsonl (ADVICE r2: no duplicate side outputs)
     jsonls = list(exp.glob("*.jsonl"))
     assert len(jsonls) == 1, jsonls
+
+
+def test_two_process_preemption_checkpoints(tmp_path):
+    """SIGTERM on ONE host mid-training must make BOTH hosts leave the
+    collective lockstep at the same global step, checkpoint, and exit
+    cleanly (cli/train preemption sync; the reference dies unsaved)."""
+    import time
+
+    from convofusion_tpu.data.fixture import make_beat_fixture, make_dnd_fixture
+
+    beat, dnd = tmp_path / "beat", tmp_path / "dnd"
+    beat.mkdir(), dnd.mkdir()
+    make_beat_fixture(str(beat), speakers=("2_scott",), seconds=6.0)
+    make_dnd_fixture(str(dnd), n_sets=1)
+
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # spin "forever": no validation, no periodic saves — the only way a
+    # checkpoint appears is the preemption path
+    env.update(MH_NAME="mh_preempt", MH_END_EPOCH="100000",
+               MH_VAL_EVERY="0", MH_SACE="100000000")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, CLI_WORKER, str(pid), "2", str(port),
+             str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(2)
+    ]
+    try:
+        # wait until training is live: process 0 appends one metrics
+        # line per epoch
+        exp = tmp_path / "experiments" / "convofusion" / "mh_preempt"
+        deadline = time.time() + 420
+        jsonl = None
+        while time.time() < deadline:
+            found = list(exp.glob("*.jsonl"))
+            if found and found[0].stat().st_size > 0:
+                jsonl = found[0]
+                break
+            if any(p.poll() is not None for p in procs):
+                break
+            time.sleep(2)
+        assert jsonl is not None, "training never produced epoch metrics"
+        procs[1].send_signal(15)  # SIGTERM the NON-saving host
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=180)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for q in procs:
+            q.kill()
+        pytest.fail("preempted workers did not exit")
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} died:\n{out[-4000:]}"
+        assert "preemption signal" in out, f"worker {pid}:\n{out[-2000:]}"
+
+    # both exited through the same step -> identical params; the
+    # preemption save exists even though periodic saves were disabled
+    w0 = np.load(tmp_path / "cli_worker_0.npz")
+    w1 = np.load(tmp_path / "cli_worker_1.npz")
+    np.testing.assert_array_equal(w0["params"], w1["params"])
+    assert list((exp / "checkpoints").glob("epoch=*"))
+
+
+def test_single_process_sigterm_checkpoints(tmp_path):
+    """Single-host path of the same feature: a plain SIGTERM flag in
+    cli/train makes the loop checkpoint and exit 0 instead of dying."""
+    import time
+
+    from convofusion_tpu.data.fixture import make_beat_fixture, make_dnd_fixture
+
+    beat, dnd = tmp_path / "beat", tmp_path / "dnd"
+    beat.mkdir(), dnd.mkdir()
+    make_beat_fixture(str(beat), speakers=("2_scott",), seconds=6.0)
+    make_dnd_fixture(str(dnd), n_sets=1)
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env.update(MH_NAME="sh_preempt", MH_END_EPOCH="100000",
+               MH_VAL_EVERY="0", MH_SACE="100000000")
+    p = subprocess.Popen(
+        [sys.executable, CLI_WORKER, "0", "1", str(_free_port()),
+         str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    try:
+        exp = tmp_path / "experiments" / "convofusion" / "sh_preempt"
+        deadline = time.time() + 420
+        ready = False
+        while time.time() < deadline and p.poll() is None:
+            found = list(exp.glob("*.jsonl"))
+            if found and found[0].stat().st_size > 0:
+                ready = True
+                break
+            time.sleep(2)
+        assert ready, "training never produced epoch metrics"
+        p.send_signal(15)
+        out, _ = p.communicate(timeout=180)
+    except subprocess.TimeoutExpired:
+        p.kill()
+        pytest.fail("worker did not exit after SIGTERM")
+    assert p.returncode == 0, out[-4000:]
+    assert "preemption signal" in out, out[-2000:]
+    assert list((exp / "checkpoints").glob("epoch=*"))
