@@ -1,0 +1,306 @@
+"""Online serving: request micro-batching over the compiled sampler.
+
+The reference has no serving story — its ``test.py`` batch-dumps a fixed
+dataset split (test.py:100-140).  Production deployment on TPU wants the
+opposite shape: requests arrive one at a time, but the chip wants large
+fixed-geometry batches feeding one compiled executable.  This module
+bridges the two:
+
+* :class:`GestureService` — accepts single generation requests (listener
+  / speaker text, mel spectrogram, active/passive bits, listener id,
+  optional focus words), groups them into fixed-size micro-batches
+  (padding the tail by repeating the last request so the compiled
+  geometry never changes), runs them through
+  :meth:`Convofusion.cached_sampler` — compiled executables and the
+  per-geometry uncond encodes are shared across batches and with any
+  other caller — and resolves per-request futures with the
+  (128, nfeats) motion slice.
+* :func:`serve_http` — a stdlib ``ThreadingHTTPServer`` JSON endpoint
+  around a service (``POST /generate``, ``GET /stats``, ``GET /healthz``).
+  No extra dependencies.
+
+TPU design notes: exactly one background worker thread owns the device —
+request threads only build numpy and wait on futures, so there is no
+concurrent dispatch and no retracing races.  A fixed batch size means
+one executable per (weg on/off) for the service's lifetime; the tail
+padding costs at most one batch of wasted rows when traffic drains, and
+occupancy is exported via :meth:`GestureService.stats`.  Weight swaps
+(:meth:`GestureService.update_params`) are picked up at the next batch;
+the sampler's uncond cache invalidates itself on params identity
+(models/convofusion.CachedSampler.uncond_for).
+"""
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclass
+class GestureRequest:
+    """One generation request (the per-sample fields of the reference's
+    test batch, BEAT_DnD collate — dataset.py:744-780)."""
+
+    text_lsn: str
+    text_spk: str = ""
+    melspec: Optional[np.ndarray] = None  # (mel_frames, n_mels) dB
+    active_passive: Optional[np.ndarray] = None  # (n_chunks,) in {0,1,2}
+    lsn_id: int = 0
+    focus_words: Sequence[str] = field(default_factory=tuple)
+
+    @classmethod
+    def from_json(cls, obj: Dict) -> "GestureRequest":
+        mel = obj.get("melspec")
+        apb = obj.get("active_passive")
+        return cls(
+            text_lsn=str(obj.get("text_lsn", obj.get("text", ""))),
+            text_spk=str(obj.get("text_spk", "")),
+            melspec=None if mel is None else np.asarray(mel, np.float32),
+            active_passive=None if apb is None else np.asarray(apb,
+                                                               np.int32),
+            lsn_id=int(obj.get("lsn_id", 0)),
+            focus_words=tuple(obj.get("focus_words", ())),
+        )
+
+
+class GestureService:
+    """Micro-batching gesture generation service.
+
+    ``batch_size`` fixes the compiled geometry; ``max_wait_ms`` bounds
+    the time the first request of a batch waits for company.  ``weg``
+    compiles the word-excitation-guidance path and honors per-request
+    ``focus_words`` (requests without focus words run with an all-invalid
+    focus mask, which is a no-op refinement).
+    """
+
+    def __init__(self, model, params, batch_size: int = 8,
+                 max_wait_ms: float = 25.0,
+                 num_inference_steps: Optional[int] = None,
+                 weg: bool = False, weg_max_focus: int = 8,
+                 mel_frames: int = 161, n_mels: int = 80,
+                 n_chunks: int = 8, seed: int = 0):
+        import jax
+
+        self.model = model
+        self._params = params
+        self._params_lock = threading.Lock()
+        self.batch_size = int(batch_size)
+        self.max_wait = float(max_wait_ms) / 1e3
+        self.weg = bool(weg)
+        self.weg_max_focus = int(weg_max_focus)
+        self.mel_shape = (int(mel_frames), int(n_mels))
+        self.n_chunks = int(n_chunks)
+        self._sampler = model.cached_sampler(
+            num_inference_steps=num_inference_steps)
+        self._key = jax.random.PRNGKey(seed)
+        self._q: "queue.Queue" = queue.Queue()
+        self._stats_lock = threading.Lock()
+        self._n_requests = 0
+        self._n_batches = 0
+        self._rows_used = 0
+        self._latencies: List[float] = []
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="gesture-service")
+        self._worker.start()
+
+    # ------------------------------------------------------------ client API
+    def submit(self, request: GestureRequest) -> Future:
+        """Enqueue; the future resolves to motion (128, nfeats) float32."""
+        if self._closed:
+            raise RuntimeError("service is closed")
+        self._validate(request)
+        fut: Future = Future()
+        self._q.put((request, fut, time.perf_counter()))
+        return fut
+
+    def generate(self, request: GestureRequest,
+                 timeout: Optional[float] = None) -> np.ndarray:
+        return self.submit(request).result(timeout=timeout)
+
+    def update_params(self, params) -> None:
+        """Swap model weights; takes effect at the next micro-batch.
+        The sampler's uncond cache self-invalidates on params identity."""
+        with self._params_lock:
+            self._params = params
+
+    def stats(self) -> Dict:
+        with self._stats_lock:
+            lat = sorted(self._latencies)
+
+            def pct(p):
+                return lat[min(len(lat) - 1, int(p * len(lat)))] if lat \
+                    else float("nan")
+
+            cap = self._n_batches * self.batch_size
+            return {
+                "requests": self._n_requests,
+                "batches": self._n_batches,
+                "occupancy": (self._rows_used / cap) if cap else 0.0,
+                "latency_p50_ms": pct(0.50) * 1e3,
+                "latency_p95_ms": pct(0.95) * 1e3,
+            }
+
+    def close(self, timeout: float = 30.0) -> None:
+        """Drain, stop the worker, fail any requests still queued."""
+        if self._closed:
+            return
+        self._closed = True
+        self._q.put(None)
+        self._worker.join(timeout=timeout)
+
+    # --------------------------------------------------------------- worker
+    def _validate(self, r: GestureRequest) -> None:
+        if r.melspec is not None and tuple(r.melspec.shape) != self.mel_shape:
+            raise ValueError(
+                f"melspec must be {self.mel_shape}, got {r.melspec.shape}")
+        if r.active_passive is not None and \
+                tuple(r.active_passive.shape) != (self.n_chunks,):
+            raise ValueError(
+                f"active_passive must be ({self.n_chunks},), got "
+                f"{r.active_passive.shape}")
+        if r.focus_words and not self.weg:
+            raise ValueError(
+                "focus_words given but the service was built with "
+                "weg=False")
+
+    def _collect(self) -> Optional[List]:
+        item = self._q.get()
+        if item is None:
+            return None
+        batch = [item]
+        deadline = time.perf_counter() + self.max_wait
+        while len(batch) < self.batch_size:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._q.put(None)  # re-post the shutdown sentinel
+                break
+            batch.append(nxt)
+        return batch
+
+    def _run(self) -> None:
+        import jax
+
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            try:
+                motions = self._run_batch([r for r, _, _ in batch])
+                now = time.perf_counter()
+                for i, (_, fut, t0) in enumerate(batch):
+                    fut.set_result(motions[i])
+                with self._stats_lock:
+                    self._n_requests += len(batch)
+                    self._n_batches += 1
+                    self._rows_used += len(batch)
+                    self._latencies.extend(
+                        now - t0 for _, _, t0 in batch)
+                    del self._latencies[:-4096]
+            except Exception as e:  # resolve, don't kill the worker
+                for _, fut, _ in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def _run_batch(self, reqs: List[GestureRequest]) -> np.ndarray:
+        import jax
+
+        from convofusion_tpu.models.tokenizer import focus_word_indices
+
+        n = len(reqs)
+        # fixed geometry: pad the tail with repeats of the last request
+        padded = reqs + [reqs[-1]] * (self.batch_size - n)
+        silence = np.full(self.mel_shape, -80.0, np.float32)
+        idle = np.full((self.n_chunks,), 2, np.int32)  # 'none' vocab bit
+        mel = np.stack([r.melspec if r.melspec is not None else silence
+                        for r in padded])
+        apb = np.stack([np.asarray(r.active_passive, np.int32)
+                        if r.active_passive is not None else idle
+                        for r in padded])
+        lsn_id = np.asarray([r.lsn_id for r in padded], np.int32)
+        texts_lsn = [r.text_lsn for r in padded]
+        texts_spk = [r.text_spk or r.text_lsn for r in padded]
+        text_arrays, _, tb_lsn = self.model.prepare_text_batch(
+            texts_spk, texts_lsn)
+        arrays = {
+            "melspec_lsn": mel,
+            "active_passive_lsn": apb,
+            "lsn_id": lsn_id,
+            **text_arrays,
+        }
+        focus = None
+        if self.weg:
+            wrapped = self.model.tokenizer.wrapped_texts(texts_lsn)
+            word_maps = tb_lsn.word_map(wrapped)
+            fi, fv = focus_word_indices(
+                word_maps, [list(r.focus_words) for r in padded],
+                max_indices=self.weg_max_focus)
+            focus = {"focus_idx": fi, "focus_valid": fv}
+        self._key, k = jax.random.split(self._key)
+        with self._params_lock:
+            params = self._params
+        motion, _, _ = self._sampler(params, arrays, k, focus=focus)
+        return np.asarray(motion[:n])
+
+
+# ------------------------------------------------------------------- HTTP
+def serve_http(service: GestureService, host: str = "127.0.0.1",
+               port: int = 8476):
+    """Wrap a service in a stdlib JSON HTTP server (returns the server;
+    call ``.serve_forever()`` or run it from a thread; ``.shutdown()`` to
+    stop).  ``POST /generate`` with a :meth:`GestureRequest.from_json`
+    body returns ``{"motion": [[...]], "latency_ms": t}``."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, obj: Dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True})
+            elif self.path == "/stats":
+                self._send(200, service.stats())
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                obj = json.loads(self.rfile.read(length) or b"{}")
+                req = GestureRequest.from_json(obj)
+                t0 = time.perf_counter()
+                motion = service.generate(req)
+                self._send(200, {
+                    "motion": np.asarray(motion, np.float64).tolist(),
+                    "latency_ms": (time.perf_counter() - t0) * 1e3,
+                })
+            except ValueError as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:
+                self._send(500, {"error": repr(e)})
+
+        def log_message(self, *a):  # quiet by default
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)

@@ -1,0 +1,168 @@
+"""Serving subsystem: micro-batching, occupancy, WEG focus routing, the
+HTTP endpoint, and weight swaps (convofusion_tpu/serving.py)."""
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from convofusion_tpu.config.testing import tiny_config
+from convofusion_tpu.models.convofusion import Convofusion
+from convofusion_tpu.serving import GestureRequest, GestureService, serve_http
+
+STEPS = 3
+
+
+@pytest.fixture(scope="module")
+def service_setup():
+    cfg = tiny_config("diffusion")
+    model = Convofusion(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params
+
+
+def _req(i: int) -> GestureRequest:
+    rng = np.random.default_rng(i)
+    return GestureRequest(
+        text_lsn=f"a nod about dragons {i}",
+        text_spk=f"we talk about maps {i}",
+        melspec=rng.uniform(-80, 0, (161, 80)).astype(np.float32),
+        active_passive=rng.integers(0, 2, 8).astype(np.int32),
+        lsn_id=int(rng.integers(1, 36)),
+    )
+
+
+def test_microbatching_and_occupancy(service_setup):
+    model, params = service_setup
+    svc = GestureService(model, params, batch_size=4, max_wait_ms=300,
+                         num_inference_steps=STEPS)
+    try:
+        futs = [svc.submit(_req(i)) for i in range(6)]
+        motions = [f.result(timeout=600) for f in futs]
+        for m in motions:
+            assert m.shape == (128, 189)
+            assert np.isfinite(m).all()
+        # 6 requests, batch 4 -> one full batch + one half batch
+        st = svc.stats()
+        assert st["requests"] == 6
+        assert st["batches"] == 2
+        assert st["occupancy"] == pytest.approx(6 / 8)
+        assert np.isfinite(st["latency_p50_ms"])
+        # distinct requests produce distinct motion
+        assert not np.allclose(motions[0], motions[1])
+    finally:
+        svc.close()
+
+
+def test_single_request_and_validation(service_setup):
+    model, params = service_setup
+    svc = GestureService(model, params, batch_size=4, max_wait_ms=5,
+                         num_inference_steps=STEPS)
+    try:
+        # defaults: no mel (silence), no apb (idle), text only
+        m = svc.generate(GestureRequest(text_lsn="hello there"),
+                         timeout=600)
+        assert m.shape == (128, 189) and np.isfinite(m).all()
+        with pytest.raises(ValueError, match="melspec"):
+            svc.submit(GestureRequest(text_lsn="x",
+                                      melspec=np.zeros((3, 3), np.float32)))
+        with pytest.raises(ValueError, match="weg"):
+            svc.submit(GestureRequest(text_lsn="x", focus_words=("x",)))
+    finally:
+        svc.close()
+    with pytest.raises(RuntimeError):
+        svc.submit(GestureRequest(text_lsn="after close"))
+
+
+def test_weg_service_routes_focus(service_setup):
+    model, params = service_setup
+    svc = GestureService(model, params, batch_size=2, max_wait_ms=200,
+                         num_inference_steps=STEPS, weg=True,
+                         weg_max_focus=4)
+    try:
+        r0 = _req(0)
+        r0.focus_words = ("dragons",)
+        futs = [svc.submit(r0), svc.submit(_req(1))]
+        for f in futs:
+            m = f.result(timeout=600)
+            assert m.shape == (128, 189) and np.isfinite(m).all()
+        assert svc.stats()["batches"] == 1
+    finally:
+        svc.close()
+
+
+def test_update_params_invalidates_uncond(service_setup):
+    model, params = service_setup
+    svc = GestureService(model, params, batch_size=2, max_wait_ms=5,
+                         num_inference_steps=STEPS)
+    try:
+        m0 = svc.generate(_req(0), timeout=600)
+        params2 = jax.tree_util.tree_map(lambda x: x * 1.05, params)
+        svc.update_params(params2)
+        m1 = svc.generate(_req(0), timeout=600)
+        # same request, same service — different weights must show up
+        # (the uncond cache must NOT serve stale encodes: ADVICE r2)
+        assert not np.allclose(m0, m1)
+    finally:
+        svc.close()
+
+
+def test_http_endpoint(service_setup):
+    model, params = service_setup
+    svc = GestureService(model, params, batch_size=2, max_wait_ms=100,
+                         num_inference_steps=STEPS)
+    server = serve_http(svc, port=0)  # ephemeral port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = server.server_address
+
+        def post(obj):
+            data = json.dumps(obj).encode()
+            req = urllib.request.Request(
+                f"http://{host}:{port}/generate", data=data,
+                headers={"Content-Type": "application/json"})
+            return json.loads(urllib.request.urlopen(req, timeout=600)
+                              .read())
+
+        results = [None, None]
+
+        def go(i):
+            results[i] = post({"text": f"hello dragon {i}",
+                               "lsn_id": i + 1})
+
+        threads = [threading.Thread(target=go, args=(i,)) for i in (0, 1)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        for r in results:
+            assert r is not None
+            motion = np.asarray(r["motion"])
+            assert motion.shape == (128, 189)
+            assert np.isfinite(motion).all()
+            assert r["latency_ms"] > 0
+        # health + stats endpoints
+        with urllib.request.urlopen(
+                f"http://{host}:{port}/healthz", timeout=30) as resp:
+            assert json.loads(resp.read())["ok"]
+        with urllib.request.urlopen(
+                f"http://{host}:{port}/stats", timeout=30) as resp:
+            st = json.loads(resp.read())
+        assert st["requests"] >= 2
+        # bad request -> 400, not a crash
+        bad = urllib.request.Request(
+            f"http://{host}:{port}/generate",
+            data=json.dumps({"text": "x", "melspec": [[0.0]]}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        svc.close()
