@@ -36,11 +36,14 @@ def main():
                     help="use the padded fused 5-stream layout instead of "
                          "the (faster) guidance-aware grouped path")
     ap.add_argument("--mode", default="sample",
-                    choices=["sample", "train", "rollout"],
+                    choices=["sample", "train", "rollout", "serve"],
                     help="sample = generation clips/s (headline); "
                          "train = diffusion-stage training clips/s; "
                          "rollout = long-form windowed synthesis with "
-                         "latent inpainting (windows/s)")
+                         "latent inpainting (windows/s); "
+                         "serve = online micro-batching service "
+                         "(convofusion_tpu/serving.py) under closed-loop "
+                         "client load — clips/s + latency percentiles")
     ap.add_argument("--parts", type=int, default=3,
                     help="rollout mode: 128-frame parts per long clip "
                          "(2*parts-1 half-overlapping windows)")
@@ -48,6 +51,15 @@ def main():
                     help="sample mode: enable word-excitation guidance "
                          "(2 focus words/sample, config thresholds) to "
                          "measure the WEG sampling mode's cost")
+    ap.add_argument("--serve-wait-ms", type=float, default=25.0,
+                    help="serve mode: micro-batching delay bound "
+                         "(GestureService max_wait_ms)")
+    ap.add_argument("--serve-requests", type=int, default=0,
+                    help="serve mode: total timed requests "
+                         "(0 = 20 x batch)")
+    ap.add_argument("--serve-clients", type=int, default=0,
+                    help="serve mode: concurrent closed-loop clients "
+                         "(0 = 2 x batch)")
     ap.add_argument("--stage", default="diffusion",
                     choices=["diffusion", "vae"],
                     help="train mode: which training stage to time "
@@ -189,6 +201,93 @@ def main():
               f"best={best * 1e3:.1f}ms "
               f"({best / n_windows * 1e3:.1f}ms/window) "
               f"mesh={n_chips_r} "
+              f"platform={jax.devices()[0].platform}", file=sys.stderr)
+        return
+
+    if args.mode == "serve":
+        # online serving: single requests -> fixed-geometry micro-batches
+        # over the compiled sampler (convofusion_tpu/serving.py).  The
+        # number that matters for deployment: service-level clips/s and
+        # the request latency distribution under closed-loop load.
+        import threading
+
+        import numpy as np
+
+        from convofusion_tpu.serving import GestureRequest, GestureService
+
+        svc = GestureService(model, params, batch_size=args.batch,
+                             max_wait_ms=args.serve_wait_ms,
+                             num_inference_steps=args.steps, weg=args.weg)
+
+        def make_req(i):
+            r = np.random.default_rng(i)
+            return GestureRequest(
+                text_lsn=f"synthetic listener line {i % 97} about gestures",
+                text_spk=f"synthetic speaker line {i % 89} about motion",
+                melspec=r.uniform(-80.0, 0.0, (161, 80)).astype(np.float32),
+                active_passive=r.integers(0, 3, 8).astype(np.int32),
+                lsn_id=int(r.integers(1, 36)),
+                focus_words=("gestures",) if args.weg else (),
+            )
+
+        # compile + warmup: one full batch
+        t0 = time.time()
+        for f in [svc.submit(make_req(i)) for i in range(args.batch)]:
+            f.result(timeout=3600)
+        compile_s = time.time() - t0
+
+        # unloaded latency: lone requests (tail-padded to the full
+        # geometry), each paying max_wait + one batch
+        solo = []
+        for i in range(5):
+            t0 = time.time()
+            svc.generate(make_req(10_000 + i), timeout=3600)
+            solo.append(time.time() - t0)
+
+        # loaded throughput: closed-loop clients, enough to keep every
+        # micro-batch full
+        total = args.serve_requests or 20 * args.batch
+        n_clients = args.serve_clients or 2 * args.batch
+        counter = {"n": 0}
+        lock = threading.Lock()
+
+        def client(cid):
+            while True:
+                with lock:
+                    if counter["n"] >= total:
+                        return
+                    counter["n"] += 1
+                    i = counter["n"]
+                svc.generate(make_req(cid * 100_003 + i), timeout=3600)
+
+        svc.reset_stats()
+        t0 = time.time()
+        threads = [threading.Thread(target=client, args=(c,))
+                   for c in range(n_clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.time() - t0
+        st = svc.stats()
+        svc.close()
+
+        clips_per_sec = st["requests"] / wall
+        result = {
+            "metric": f"serve_clips_per_sec_{args.steps}step"
+                      + ("_weg" if args.weg else ""),
+            "value": round(clips_per_sec, 2),
+            "unit": "clips/s/chip",
+            "vs_baseline": round(clips_per_sec / 50.0, 3),
+        }
+        print(json.dumps(result))
+        print(f"# SERVE batch={args.batch} wait={args.serve_wait_ms}ms "
+              f"clients={n_clients} requests={st['requests']} "
+              f"batches={st['batches']} "
+              f"occupancy={st['occupancy']:.3f} compile={compile_s:.1f}s "
+              f"solo_latency={min(solo) * 1e3:.0f}ms "
+              f"loaded_p50={st['latency_p50_ms']:.0f}ms "
+              f"loaded_p95={st['latency_p95_ms']:.0f}ms "
               f"platform={jax.devices()[0].platform}", file=sys.stderr)
         return
 

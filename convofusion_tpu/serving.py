@@ -19,12 +19,20 @@ bridges the two:
   around a service (``POST /generate``, ``GET /stats``, ``GET /healthz``).
   No extra dependencies.
 
-TPU design notes: exactly one background worker thread owns the device —
-request threads only build numpy and wait on futures, so there is no
-concurrent dispatch and no retracing races.  A fixed batch size means
-one executable per (weg on/off) for the service's lifetime; the tail
-padding costs at most one batch of wasted rows when traffic drains, and
-occupancy is exported via :meth:`GestureService.stats`.  Weight swaps
+TPU design notes: the worker is a three-stage pipeline.  A *builder*
+thread collects requests and does all host work (tokenization, numpy
+batch assembly, focus-index mapping); a *device* thread — the only
+thread that ever dispatches jax computation — runs the compiled
+sampler, which returns asynchronously while the chip works; a *fetch*
+thread blocks on results, resolves futures and accounts stats.
+Bounded queues between the stages double-buffer, so at steady state
+batch N+1 is being built and batch N+2's requests queued while batch N
+runs on the chip and batch N-1's motion is fetched: service throughput
+tracks device batch time instead of host + device + fetch.  A fixed
+batch size means one executable per (weg on/off) for the
+service's lifetime; the tail padding costs at most one batch of wasted
+rows when traffic drains, and occupancy is exported via
+:meth:`GestureService.stats`.  Weight swaps
 (:meth:`GestureService.update_params`) are picked up at the next batch;
 the sampler's uncond cache invalidates itself on params identity
 (models/convofusion.CachedSampler.uncond_for).
@@ -100,15 +108,31 @@ class GestureService:
             num_inference_steps=num_inference_steps)
         self._key = jax.random.PRNGKey(seed)
         self._q: "queue.Queue" = queue.Queue()
+        # one-slot hand-off: the builder assembles batch N+1 on host CPU
+        # while the device thread runs batch N on the chip
+        self._ready: "queue.Queue" = queue.Queue(maxsize=1)
+        # dispatched-but-unfetched batches (jax dispatch is async; the
+        # fetch thread blocks on the device result, the device thread
+        # doesn't) — maxsize bounds in-flight device memory
+        self._done: "queue.Queue" = queue.Queue(maxsize=2)
         self._stats_lock = threading.Lock()
         self._n_requests = 0
         self._n_batches = 0
         self._rows_used = 0
         self._latencies: List[float] = []
         self._closed = False
-        self._worker = threading.Thread(target=self._run, daemon=True,
-                                        name="gesture-service")
+        self._builder = threading.Thread(target=self._run_build,
+                                         daemon=True,
+                                         name="gesture-service-build")
+        self._worker = threading.Thread(target=self._run_device,
+                                        daemon=True,
+                                        name="gesture-service-device")
+        self._fetcher = threading.Thread(target=self._run_fetch,
+                                         daemon=True,
+                                         name="gesture-service-fetch")
+        self._builder.start()
         self._worker.start()
+        self._fetcher.start()
 
     # ------------------------------------------------------------ client API
     def submit(self, request: GestureRequest) -> Future:
@@ -147,13 +171,23 @@ class GestureService:
                 "latency_p95_ms": pct(0.95) * 1e3,
             }
 
+    def reset_stats(self) -> None:
+        """Zero the counters/latency window (e.g. after warmup/compile)."""
+        with self._stats_lock:
+            self._n_requests = 0
+            self._n_batches = 0
+            self._rows_used = 0
+            self._latencies.clear()
+
     def close(self, timeout: float = 30.0) -> None:
-        """Drain, stop the worker, fail any requests still queued."""
+        """Drain, stop both pipeline threads, fail any queued requests."""
         if self._closed:
             return
         self._closed = True
         self._q.put(None)
+        self._builder.join(timeout=timeout)
         self._worker.join(timeout=timeout)
+        self._fetcher.join(timeout=timeout)
 
     # --------------------------------------------------------------- worker
     def _validate(self, r: GestureRequest) -> None:
@@ -190,38 +224,79 @@ class GestureService:
             batch.append(nxt)
         return batch
 
-    def _run(self) -> None:
-        import jax
-
+    def _run_build(self) -> None:
+        """Stage 1: collect requests, do ALL host work (tokenization,
+        numpy batch assembly, focus mapping); hand the prepared batch to
+        the device thread through the one-slot queue."""
         while True:
             batch = self._collect()
             if batch is None:
+                self._ready.put(None)
                 return
             try:
-                motions = self._run_batch([r for r, _, _ in batch])
-                now = time.perf_counter()
-                for i, (_, fut, t0) in enumerate(batch):
-                    fut.set_result(motions[i])
-                with self._stats_lock:
-                    self._n_requests += len(batch)
-                    self._n_batches += 1
-                    self._rows_used += len(batch)
-                    self._latencies.extend(
-                        now - t0 for _, _, t0 in batch)
-                    del self._latencies[:-4096]
+                arrays, focus = self._build([r for r, _, _ in batch])
+            except Exception as e:
+                for _, fut, _ in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
+            self._ready.put((arrays, focus, batch))
+
+    def _run_device(self) -> None:
+        """Stage 2: the only thread that dispatches device computation.
+        jax dispatch is async — the sampler call returns while the chip
+        is still working, so this thread immediately starts the next
+        batch; blocking on results happens in the fetch stage."""
+        import jax
+
+        while True:
+            item = self._ready.get()
+            if item is None:
+                self._done.put(None)
+                return
+            arrays, focus, batch = item
+            try:
+                self._key, k = jax.random.split(self._key)
+                with self._params_lock:
+                    params = self._params
+                motion, _, _ = self._sampler(params, arrays, k,
+                                             focus=focus)
+                self._done.put((motion, batch))
             except Exception as e:  # resolve, don't kill the worker
                 for _, fut, _ in batch:
                     if not fut.done():
                         fut.set_exception(e)
 
-    def _run_batch(self, reqs: List[GestureRequest]) -> np.ndarray:
-        import jax
+    def _run_fetch(self) -> None:
+        """Stage 3: block on device results, resolve futures, account."""
+        while True:
+            item = self._done.get()
+            if item is None:
+                return
+            motion, batch = item
+            try:
+                n = len(batch)
+                motions = np.asarray(motion[:n])
+                now = time.perf_counter()
+                for i, (_, fut, t0) in enumerate(batch):
+                    fut.set_result(motions[i])
+                with self._stats_lock:
+                    self._n_requests += n
+                    self._n_batches += 1
+                    self._rows_used += n
+                    self._latencies.extend(
+                        now - t0 for _, _, t0 in batch)
+                    del self._latencies[:-4096]
+            except Exception as e:
+                for _, fut, _ in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
 
+    def _build(self, reqs: List[GestureRequest]):
         from convofusion_tpu.models.tokenizer import focus_word_indices
 
-        n = len(reqs)
         # fixed geometry: pad the tail with repeats of the last request
-        padded = reqs + [reqs[-1]] * (self.batch_size - n)
+        padded = reqs + [reqs[-1]] * (self.batch_size - len(reqs))
         silence = np.full(self.mel_shape, -80.0, np.float32)
         idle = np.full((self.n_chunks,), 2, np.int32)  # 'none' vocab bit
         mel = np.stack([r.melspec if r.melspec is not None else silence
@@ -248,11 +323,7 @@ class GestureService:
                 word_maps, [list(r.focus_words) for r in padded],
                 max_indices=self.weg_max_focus)
             focus = {"focus_idx": fi, "focus_valid": fv}
-        self._key, k = jax.random.split(self._key)
-        with self._params_lock:
-            params = self._params
-        motion, _, _ = self._sampler(params, arrays, k, focus=focus)
-        return np.asarray(motion[:n])
+        return arrays, focus
 
 
 # ------------------------------------------------------------------- HTTP

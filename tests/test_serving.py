@@ -53,6 +53,10 @@ def test_microbatching_and_occupancy(service_setup):
         assert np.isfinite(st["latency_p50_ms"])
         # distinct requests produce distinct motion
         assert not np.allclose(motions[0], motions[1])
+        svc.reset_stats()
+        st = svc.stats()
+        assert st["requests"] == 0 and st["batches"] == 0
+        assert st["occupancy"] == 0.0
     finally:
         svc.close()
 
