@@ -86,6 +86,13 @@ def main():
                     choices=["ddim", "ddpm", "dpmpp_2m"],
                     help="reverse-process variant (dpmpp_2m = fast "
                          "deployment mode; pair with --steps 15-20)")
+    ap.add_argument("--tokenizer", default="auto",
+                    choices=["auto", "synthetic", "hash"],
+                    help="text tokenizer for the bench path: auto = real "
+                         "spiece.model if present, else a synthetic "
+                         "t5-geometry spiece (exercises the production "
+                         "SentencePiece pipeline; ids not t5-base); hash "
+                         "= the WordHashTokenizer fallback")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one timed "
                          "iteration into DIR (NB: hangs on tunneled "
@@ -130,7 +137,34 @@ def main():
     cfg.model.denoiser.params["fuse_streams"] = args.fused
     cfg.TPU["SCAN_UNROLL"] = args.unroll
 
-    model = Convofusion(cfg)
+    tokenizer = None
+    if not args.tiny and args.tokenizer != "hash":
+        # run the PRODUCTION tokenizer pipeline (native proto parse ->
+        # tokenizers Unigram Viterbi -> subword word maps) even without
+        # the real t5-base asset: synthesize a t5-geometry spiece.model
+        # (models/sentencepiece.py).  Only ids differ from t5-base.
+        from convofusion_tpu.models.tokenizer import (
+            SentencePieceTokenizer,
+            find_spiece,
+        )
+
+        spiece = None if args.tokenizer == "synthetic" else \
+            find_spiece("t5-base")
+        which = "t5-base spiece.model"
+        if spiece is None:
+            from convofusion_tpu.models.sentencepiece import (
+                write_synthetic_spiece,
+            )
+
+            spiece = write_synthetic_spiece(os.path.join(
+                os.path.expanduser("~"), ".cache", "convofusion_tpu",
+                "synthetic_spiece.model"))
+            which = ("synthetic t5-geometry spiece (production "
+                     "SentencePiece pipeline; ids not t5-base)")
+        tokenizer = SentencePieceTokenizer(spiece, max_length=200)
+        print(f"# tokenizer: {which}", file=sys.stderr)
+
+    model = Convofusion(cfg, tokenizer=tokenizer)
     params = model.init_params(jax.random.PRNGKey(0))
 
     if args.mode == "rollout":

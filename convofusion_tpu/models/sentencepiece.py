@@ -343,3 +343,105 @@ def nmt_nfkc_normalize(text: str) -> str:
         else:
             out.append(ch)
     return unicodedata.normalize("NFKC", "".join(out))
+
+
+# --------------------------------------------------------------------------
+# synthetic t5-geometry model (asset-free benchmarking / serving)
+# --------------------------------------------------------------------------
+
+def synthesize_spiece_model(vocab_size: int = 32000,
+                            seed: int = 0) -> SPModel:
+    """Build a t5-base-GEOMETRY synthetic unigram model.
+
+    Same layout as t5-base's ``spiece.model`` — ``<pad>``/``</s>`` control
+    pieces, ``<unk>`` unknown (``unk_id=2``), then ``▁``-prefixed word
+    pieces, bare continuation subwords and single characters with
+    Zipf-like log scores — so the *exact production tokenizer pipeline*
+    (native proto parse -> ``tokenizers`` Unigram Viterbi over a 32k
+    lattice -> subword token->word maps) can run in environments where the
+    real asset is unavailable (zero egress).  Token ids do NOT match
+    t5-base; this is for benchmarking/serving realism, not released-
+    checkpoint fidelity (see models/tokenizer.py resolution order).
+    """
+    import math
+    import string
+
+    pieces: List[Tuple[str, float, int]] = [
+        ("<pad>", 0.0, CONTROL), ("</s>", 0.0, CONTROL),
+        ("<unk>", 0.0, UNKNOWN)]
+    seen = {p for p, _, _ in pieces}
+
+    def add(piece: str, score: float) -> None:
+        if piece and piece not in seen and len(pieces) < vocab_size:
+            seen.add(piece)
+            pieces.append((piece, score, NORMAL))
+
+    # coverage tier: whitespace marker, single chars (bare + word-initial)
+    add("▁", -2.0)
+    chars = (string.ascii_lowercase + string.ascii_uppercase +
+             string.digits + "',.!?-:;\"()&%$#@/")
+    for c in chars:
+        add(c, -18.0)
+        add("▁" + c, -17.0)
+
+    # frequent-subword tier: common English suffix/prefix continuations
+    affixes = ["s", "ing", "ed", "er", "ly", "tion", "ment", "ness", "es",
+               "able", "est", "al", "ous", "ive", "ity", "ant", "ence",
+               "ish", "ism", "ist", "ful", "less", "en", "y", "le", "re",
+               "un", "in", "on", "an", "or", "ar", "th", "nd", "nt", "st",
+               "ck", "ll", "ng", "rd"]
+    for i, a in enumerate(affixes):
+        add(a, -4.0 - 0.05 * i)
+
+    # word tier: syllable-composed pieces in deterministic Zipf order
+    onsets = ["", "b", "c", "d", "f", "g", "h", "j", "k", "l", "m", "n",
+              "p", "r", "s", "t", "v", "w", "y", "z", "br", "ch", "cl",
+              "cr", "dr", "fl", "fr", "gr", "pl", "pr", "sh", "sl", "sp",
+              "st", "th", "tr"]
+    nuclei = ["a", "e", "i", "o", "u", "ai", "ea", "ee", "io", "ou"]
+    codas = ["", "b", "d", "g", "k", "l", "m", "n", "p", "r", "s", "t",
+             "ck", "ll", "ng", "nt", "rd", "rk", "st", "nce"]
+
+    def syllables():
+        for n in nuclei:
+            for o in onsets:
+                for c in codas:
+                    yield o + n + c
+
+    rank = 0
+    one_syll = list(syllables())
+    for w in one_syll:
+        add("▁" + w, -3.0 - 0.9 * math.log1p(rank))
+        rank += 1
+        if len(pieces) >= vocab_size:
+            break
+    # two-syllable tier (cartesian, deterministic); fills to 32k
+    if len(pieces) < vocab_size:
+        for w1 in one_syll:
+            for w2 in one_syll:
+                add("▁" + w1 + w2, -8.0 - 0.9 * math.log1p(rank))
+                add(w2, -9.0 - 0.9 * math.log1p(rank))
+                rank += 1
+                if len(pieces) >= vocab_size:
+                    break
+            if len(pieces) >= vocab_size:
+                break
+
+    return SPModel(pieces=pieces, model_type=1, unk_id=2)
+
+
+def write_synthetic_spiece(path: str, vocab_size: int = 32000,
+                           seed: int = 0) -> str:
+    """Serialize :func:`synthesize_spiece_model` to ``path`` (idempotent:
+    an existing non-empty file is kept).  Returns ``path``."""
+    import os
+
+    if not (os.path.isfile(path) and os.path.getsize(path) > 0):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        data = serialize_model_proto(
+            synthesize_spiece_model(vocab_size, seed))
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    return path

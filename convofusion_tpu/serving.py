@@ -180,7 +180,12 @@ class GestureService:
             self._latencies.clear()
 
     def close(self, timeout: float = 30.0) -> None:
-        """Drain, stop both pipeline threads, fail any queued requests."""
+        """Drain queued requests, stop the pipeline threads.
+
+        Requests already in the queue when the shutdown sentinel lands are
+        still served (FIFO); one racing ``submit`` that passed the closed
+        check but enqueued AFTER the sentinel would otherwise hang its
+        future forever — those are failed explicitly after the drain."""
         if self._closed:
             return
         self._closed = True
@@ -188,6 +193,15 @@ class GestureService:
         self._builder.join(timeout=timeout)
         self._worker.join(timeout=timeout)
         self._fetcher.join(timeout=timeout)
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                _, fut, _ = item
+                if not fut.done():
+                    fut.set_exception(RuntimeError("service closed"))
 
     # --------------------------------------------------------------- worker
     def _validate(self, r: GestureRequest) -> None:
@@ -375,3 +389,92 @@ def serve_http(service: GestureService, host: str = "127.0.0.1",
             pass
 
     return ThreadingHTTPServer((host, port), Handler)
+
+
+# ------------------------------------------------------------------- CLI
+def build_service(cfg, params=None) -> GestureService:
+    """Construct a :class:`GestureService` from a merged config.
+
+    Knobs: ``TEST.CHECKPOINTS`` (orbax dir or torch file, same resolution
+    as cli/test.py), ``SERVE.BATCH_SIZE`` (default ``TEST.BATCH_SIZE``),
+    ``SERVE.MAX_WAIT_MS``, ``model.scheduler.num_inference_timesteps``,
+    and ``TRAIN.ABLATION.WEG_TYPE`` (any value but ``no`` compiles the
+    word-excitation path and honors per-request focus words)."""
+    import jax
+
+    from convofusion_tpu.models.convofusion import Convofusion
+
+    # serving runs without a datamodule, so inject the production feature
+    # geometry if no dataset filled it in (dataset.py:523-574 contract)
+    if not cfg.DATASET.get("NFEATS"):
+        cfg.DATASET.NFEATS = 189
+        cfg.DATASET.NJOINTS = 63
+
+    model = Convofusion(cfg)
+    if params is None:
+        params = model.init_params(
+            jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 0))))
+        ckpt = str(cfg.TEST.get("CHECKPOINTS", "") or "")
+        if ckpt:
+            from convofusion_tpu.train.checkpoint import (
+                load_checkpoint,
+                load_torch_full_model,
+            )
+
+            if ckpt.endswith((".ckpt", ".pt", ".pth", ".bin")):
+                params = load_torch_full_model(ckpt, params)
+            else:
+                params, _ = load_checkpoint(ckpt, params)
+
+    serve = cfg.get("SERVE", {})
+
+    def opt(key, default):
+        return serve.get(key, default) if hasattr(serve, "get") else default
+
+    weg_type = str(cfg.TRAIN.ABLATION.get("WEG_TYPE", "no"))
+    return GestureService(
+        model, params,
+        batch_size=int(opt("BATCH_SIZE", cfg.TEST.get("BATCH_SIZE", 8))),
+        max_wait_ms=float(opt("MAX_WAIT_MS", 25.0)),
+        num_inference_steps=int(
+            cfg.model.scheduler.get("num_inference_timesteps", 1000)),
+        weg=weg_type != "no",
+        seed=int(cfg.get("SEED_VALUE", 0)),
+    )
+
+
+def main(argv=None):
+    """``python -m convofusion_tpu.serving --cfg <yaml> [key=value ...]``
+
+    Stands up the micro-batching service plus the JSON HTTP endpoint
+    (``POST /generate``, ``GET /stats``, ``GET /healthz``).  Accepts the
+    same config schema as cli/test.py; see :func:`build_service` for the
+    SERVE-block knobs (``SERVE.HOST``/``SERVE.PORT`` for the listener)."""
+    from convofusion_tpu.config import parse_args
+    from convofusion_tpu.utils.jaxsetup import setup_jax
+
+    cfg = parse_args("test", argv)
+    setup_jax(cfg)
+    service = build_service(cfg)
+    serve = cfg.get("SERVE", {})
+
+    def opt(key, default):
+        return serve.get(key, default) if hasattr(serve, "get") else default
+
+    server = serve_http(service, host=str(opt("HOST", "127.0.0.1")),
+                        port=int(opt("PORT", 8476)))
+    host, port = server.server_address[:2]
+    print(f"serving on http://{host}:{port} "
+          f"(batch={service.batch_size}, wait={service.max_wait * 1e3:.0f}"
+          f"ms, weg={service.weg})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+        service.close()
+
+
+if __name__ == "__main__":
+    main()

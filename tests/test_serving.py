@@ -170,3 +170,22 @@ def test_http_endpoint(service_setup):
     finally:
         server.shutdown()
         svc.close()
+
+
+def test_build_service_from_config():
+    """CLI surface (python -m convofusion_tpu.serving): build_service
+    wires the SERVE/TEST/scheduler config knobs into a working service."""
+    from convofusion_tpu.serving import build_service
+
+    cfg = tiny_config("diffusion")
+    cfg.model.scheduler["num_inference_timesteps"] = STEPS
+    cfg.TRAIN.ABLATION["WEG_TYPE"] = "no"
+    cfg["SERVE"] = {"BATCH_SIZE": 2, "MAX_WAIT_MS": 30.0}
+    svc = build_service(cfg)
+    try:
+        assert svc.batch_size == 2 and not svc.weg
+        m = svc.generate(_req(0), timeout=600)
+        assert m.shape == (128, 189)
+        assert np.isfinite(m).all()
+    finally:
+        svc.close()

@@ -184,3 +184,44 @@ def test_model_uses_hash_tokenizer_for_tiny_vocab():
     vocab = model.tokenizer.vocab_size
     tb = model.tokenize(["hello world", UNCOND_TEXT])
     assert tb.input_ids.max() < vocab
+
+
+def test_synthetic_spiece_runs_production_pipeline(tmp_path):
+    """The t5-geometry synthetic model (bench.py --tokenizer auto in
+    asset-free environments) must drive the exact production pipeline:
+    32k unique pieces, subword splitting, trailing </s>, bos/eos wrap,
+    subword word maps, and ids inside the 32128-row embedding."""
+    from convofusion_tpu.models.sentencepiece import (
+        synthesize_spiece_model,
+        write_synthetic_spiece,
+    )
+
+    m = synthesize_spiece_model()
+    assert len(m.pieces) == 32000 and m.unk_id == 2
+    assert len({p for p, _, _ in m.pieces}) == 32000
+
+    p = write_synthetic_spiece(str(tmp_path / "spiece.model"))
+    tok = SentencePieceTokenizer(p, max_length=64)
+    texts = ["hello world this is a benchmark", UNCOND_TEXT]
+    tb = tok(texts, pad_to=64)
+    assert tb.input_ids.shape == (2, 64)
+    assert 0 < int(tb.input_ids.max()) < 32128
+
+    n = int(tb.attention_mask[0].sum())
+    eos = tok.tok.convert_tokens_to_ids("</s>")
+    bos = tok.tok.convert_tokens_to_ids("<bos>")
+    assert tb.input_ids[0, n - 1] == eos          # T5 trailing </s>
+    assert tb.input_ids[0, 0] == bos              # "<bos> {text} <eos>"
+    # 6 content words + bos/eos wrap -> word indices 0..7, with at least
+    # one word split across >1 subword piece (vocab has no whole-word
+    # piece for every english word by construction)
+    wids = [w for w in tb.word_ids[0] if w is not None]
+    assert max(wids) == 7
+    assert len(wids) > 8
+    # uncond row: unwrapped (reference t5.py:93) -> strictly shorter
+    assert int(tb.attention_mask[1].sum()) < n
+
+    # idempotent writer: second call must not rebuild
+    before = (tmp_path / "spiece.model").stat().st_mtime_ns
+    write_synthetic_spiece(str(tmp_path / "spiece.model"))
+    assert (tmp_path / "spiece.model").stat().st_mtime_ns == before
