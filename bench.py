@@ -70,6 +70,11 @@ def main():
                          "activations (cli/train.py's "
                          "TPU.CACHE_TEXT_TRUNK steady state) and time "
                          "the cached-trunk step")
+    ap.add_argument("--cached-vae", action="store_true",
+                    help="train mode: precompute the frozen VAE "
+                         "posterior (cli/train.py's "
+                         "TPU.CACHE_VAE_POSTERIOR steady state; the "
+                         "reparameterization noise stays in-step)")
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard the batch over an N-device 'data' mesh "
                          "(params replicated); 0 = single device. "
@@ -377,6 +382,19 @@ def main():
             jax.block_until_ready(batch["uncond_trunk"])
             for k in ("spk_ids", "lsn_ids", "uncond_ids"):
                 del batch[k]
+        if args.cached_vae and vae_stage:
+            print("# --cached-vae is diffusion-stage only; ignoring.",
+                  file=sys.stderr)
+            args.cached_vae = False
+        if args.cached_vae:
+            # steady state of cli/train.py's frozen-VAE posterior cache:
+            # (mu, logvar) are batch inputs, the in-step encoder is gone
+            batch = dict(batch)
+            mu, lv = jax.jit(model.encode_vae_posterior)(
+                params, batch["motion_lsn"])
+            batch["vae_mu"], batch["vae_logvar"] = mu, lv
+            jax.block_until_ready(mu)
+            del batch["motion_lsn"]
 
         opt = optax.adamw(7e-5)
         opt_state = opt.init(params)
@@ -418,6 +436,7 @@ def main():
         print(f"# TRAIN stage={args.stage} "
               f"batch={args.batch} dtype={args.dtype} "
               f"cached_text={args.cached_text} "
+              f"cached_vae={args.cached_vae} "
               f"compile={compile_s:.1f}s best={best * 1e3:.1f}ms "
               f"loss={float(loss):.4f}", file=sys.stderr)
         if args.mfu and n_chips > 1:

@@ -143,6 +143,35 @@ def main(argv=None):
 
         logger.info("frozen-T5 trunk cache enabled (TPU.CACHE_TEXT_TRUNK)")
 
+    # frozen-VAE posterior cache: in the diffusion stage the VAE never
+    # trains, so each sample's (mu, logvar) is immutable — cache per name
+    # and draw only the reparameterization noise in-step (bit-identical
+    # loss: models/convofusion.py train_diffusion_loss cached branch).
+    # Removes the chunked VAE encoder (tiny d=128 GEMMs the MXU hates)
+    # from the hot loop.  TPU.CACHE_VAE_POSTERIOR=0 disables.
+    use_vae_cache = (
+        cfg.TRAIN.STAGE != "vae"
+        and bool(cfg.get("TPU", {}).get("CACHE_VAE_POSTERIOR", True)))
+    if use_vae_cache:
+        vae_params = {"vae": jax.tree_util.tree_map(
+            jnp.array, params["vae"])}
+        posterior_jit = jax.jit(model.encode_vae_posterior)
+        pcache: dict = {}
+
+        def _posteriors(names, motion):
+            if any(n not in pcache for n in names):
+                # encode the whole batch once (static shape -> one
+                # compile) and keep per-sample slices
+                mu, lv = posterior_jit(vae_params, jnp.asarray(motion))
+                mu, lv = np.asarray(mu), np.asarray(lv)
+                for i, n in enumerate(names):
+                    pcache[n] = (mu[i], lv[i])
+            return (np.stack([pcache[n][0] for n in names]),
+                    np.stack([pcache[n][1] for n in names]))
+
+        logger.info(
+            "frozen-VAE posterior cache enabled (TPU.CACHE_VAE_POSTERIOR)")
+
     # multi-host: keep batches as host numpy until shard_batch assembles
     # the global arrays — jnp.asarray here would stage onto the local
     # device only to be pulled back for make_array_from_process_local_data
@@ -153,11 +182,15 @@ def main(argv=None):
         if cfg.TRAIN.STAGE == "vae":
             return {"motion": to_dev(batch["motion"])}
         arrays = {
-            "motion_lsn": to_dev(batch["motion_lsn"]),
             "melspec_lsn": to_dev(batch["melspec_lsn"]),
             "active_passive_lsn": to_dev(batch["active_passive_lsn"]),
             "lsn_id": to_dev(batch["lsn_id"]),
         }
+        if use_vae_cache:
+            mu, lv = _posteriors(list(batch["name"]), batch["motion_lsn"])
+            arrays.update(vae_mu=to_dev(mu), vae_logvar=to_dev(lv))
+        else:
+            arrays["motion_lsn"] = to_dev(batch["motion_lsn"])
         if use_trunk_cache:
             # the cache carries its own masks — no per-batch tokenizer
             # run and no unused id arrays shipped to the device; the

@@ -216,6 +216,21 @@ class Convofusion:
             {"params": params["vae"]}, z, nframes or self.max_len,
             deterministic, method=self.vae.decode)
 
+    def encode_vae_posterior(self, params, motion):
+        """Frozen-VAE posterior for the stage-2 cached-latent path.
+
+        The VAE is frozen during diffusion training (convofusion.py:78-82)
+        and its encoder runs in eval mode, so (mu, logvar) are a pure
+        function of the motion — cacheable per sample.  Returned
+        BATCH-LEADING as (B, 2, n_chunks, D) each, so per-sample cache
+        slices / data-parallel batch sharding work on axis 0;
+        ``train_diffusion_loss`` transposes back and draws the
+        reparameterization noise in-step (bit-identical to the uncached
+        path under the same key)."""
+        _, (mu, logvar), _ = self.vae_encode(params, motion)
+        return (jnp.transpose(mu, (1, 0, 2, 3)),
+                jnp.transpose(logvar, (1, 0, 2, 3)))
+
     def train_vae_loss(self, params, batch, key) -> Tuple[jnp.ndarray, Dict]:
         """Stage-1 loss (convofusion.py:647-715 + losses update)."""
         motion = batch["motion"]
@@ -404,9 +419,22 @@ class Convofusion:
         k_enc, k_drop, k_noise, k_t, k_dropout = jax.random.split(key, 5)
 
         # frozen VAE encode (reparameterized sample, stop-gradient)
-        latent, _, _ = self.vae_encode(
-            jax.lax.stop_gradient(params), batch["motion_lsn"],
-            sample_key=k_enc)
+        if "vae_mu" in batch:
+            # cached-posterior layout (cli/train TPU.CACHE_VAE_POSTERIOR):
+            # the frozen VAE's (mu, logvar) are a pure function of the
+            # motion, precomputed host-side; only the reparameterization
+            # noise stays in-step, drawn with the SAME key/shape/dtype as
+            # vae.encode would (models/vae.py:177-179) — bit-identical
+            # loss, no tiny-GEMM encoder forward in the step
+            mu = jnp.transpose(batch["vae_mu"], (1, 0, 2, 3))
+            logvar = jnp.transpose(batch["vae_logvar"], (1, 0, 2, 3))
+            std = jnp.exp(0.5 * logvar)
+            latent = mu + std * jax.random.normal(k_enc, mu.shape,
+                                                  mu.dtype)
+        else:
+            latent, _, _ = self.vae_encode(
+                jax.lax.stop_gradient(params), batch["motion_lsn"],
+                sample_key=k_enc)
         latent = jax.lax.stop_gradient(latent)
         # (2, B, 8, D) -> (B, 16, D) interleaved body/hands per chunk
         z = jnp.transpose(latent, (1, 2, 0, 3))

@@ -22,11 +22,22 @@ import numpy as np
 
 def _module(name):
     """Return the (shim) module registered under ``name``, creating and
-    registering an empty one if absent."""
+    registering an empty one if absent.
+
+    The shim gets a real ``ModuleSpec``: ``importlib.util.find_spec``
+    raises ``ValueError`` on an in-sys.modules module whose ``__spec__``
+    is None, which broke any LATER lazy import that probes optional
+    dependencies (e.g. ``import transformers`` after a reference-oracle
+    test probed librosa availability)."""
+    import importlib.machinery
+
     mod = sys.modules.get(name)
     if mod is None:
         mod = types.ModuleType(name)
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
         sys.modules[name] = mod
+    elif getattr(mod, "__spec__", None) is None:
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
     return mod
 
 

@@ -45,7 +45,7 @@ def test_two_process_training_syncs(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=1200)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -97,7 +97,7 @@ def test_two_process_cli_train(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=540)
+            out, _ = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -149,7 +149,7 @@ def test_two_process_preemption_checkpoints(tmp_path):
         # wait until training is live: process 0 appends one metrics
         # line per epoch
         exp = tmp_path / "experiments" / "convofusion" / "mh_preempt"
-        deadline = time.time() + 420
+        deadline = time.time() + 1200
         jsonl = None
         while time.time() < deadline:
             found = list(exp.glob("*.jsonl"))
@@ -163,7 +163,7 @@ def test_two_process_preemption_checkpoints(tmp_path):
         procs[1].send_signal(15)  # SIGTERM the NON-saving host
         outs = []
         for p in procs:
-            out, _ = p.communicate(timeout=180)
+            out, _ = p.communicate(timeout=420)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for q in procs:
@@ -204,7 +204,7 @@ def test_single_process_sigterm_checkpoints(tmp_path):
         text=True)
     try:
         exp = tmp_path / "experiments" / "convofusion" / "sh_preempt"
-        deadline = time.time() + 420
+        deadline = time.time() + 1200
         ready = False
         while time.time() < deadline and p.poll() is None:
             found = list(exp.glob("*.jsonl"))
@@ -214,7 +214,7 @@ def test_single_process_sigterm_checkpoints(tmp_path):
             time.sleep(2)
         assert ready, "training never produced epoch metrics"
         p.send_signal(15)
-        out, _ = p.communicate(timeout=180)
+        out, _ = p.communicate(timeout=420)
     except subprocess.TimeoutExpired:
         p.kill()
         pytest.fail("worker did not exit after SIGTERM")
