@@ -404,24 +404,30 @@ def main():
         loss_fn = (model.train_vae_loss if vae_stage
                    else model.train_diffusion_loss)
 
+        # batch is an ARGUMENT, not a closure: closed-over arrays become
+        # HLO literals, which bloats the compile payload by the batch
+        # size (the axon remote-compile proxy rejects >~100 MB bodies)
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(p, o, k):
+        def train_step(p, o, b, k):
             (loss, _), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(p, batch, k)
+                loss_fn, has_aux=True)(p, b, k)
             updates, o = opt.update(grads, o, p)
             return optax.apply_updates(p, updates), o, loss
 
+        # force a host fetch of the loss as the timing barrier: over the
+        # axon tunnel block_until_ready can return before device
+        # execution completes (docs/BENCHMARKS.md measurement note)
         t0 = time.time()
-        params, opt_state, loss = train_step(params, opt_state,
+        params, opt_state, loss = train_step(params, opt_state, batch,
                                              jax.random.PRNGKey(1))
-        jax.block_until_ready(loss)
+        float(loss)
         compile_s = time.time() - t0
         times = []
         for i in range(max(args.iters, 10)):
             t0 = time.time()
             params, opt_state, loss = train_step(
-                params, opt_state, jax.random.PRNGKey(2 + i))
-            jax.block_until_ready(loss)
+                params, opt_state, batch, jax.random.PRNGKey(2 + i))
+            float(loss)
             times.append(time.time() - t0)
         best = min(times)
         clips_per_sec = args.batch / best / n_chips
