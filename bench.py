@@ -484,7 +484,10 @@ def main():
     for i in range(args.iters):
         t0 = time.time()
         motion = sample(params, batch, jax.random.PRNGKey(2 + i))
-        motion.block_until_ready()
+        # forced one-row host fetch: a robust barrier over the axon
+        # tunnel, where block_until_ready can return early (see the
+        # train-mode note); costs ~0.1 ms of transfer
+        np.asarray(motion[:1])
         times.append(time.time() - t0)
 
     if args.trace:
