@@ -149,25 +149,41 @@ def main(argv=None):
     # loss: models/convofusion.py train_diffusion_loss cached branch).
     # Removes the chunked VAE encoder (tiny d=128 GEMMs the MXU hates)
     # from the hot loop.  TPU.CACHE_VAE_POSTERIOR=0 disables.
+    # STRICTLY the pure-diffusion stage: in 'vae_diffusion' the VAE is
+    # trainable, so its posterior is not a constant of the motion
     use_vae_cache = (
-        cfg.TRAIN.STAGE != "vae"
+        cfg.TRAIN.STAGE == "diffusion"
         and bool(cfg.get("TPU", {}).get("CACHE_VAE_POSTERIOR", True)))
     if use_vae_cache:
+        import hashlib
+
         vae_params = {"vae": jax.tree_util.tree_map(
             jnp.array, params["vae"])}
         posterior_jit = jax.jit(model.encode_vae_posterior)
         pcache: dict = {}
 
+        def _pkey(name, motion_row):
+            # key on CONTENT, not just name: multi-listener entries pick
+            # a random listener per epoch (data/dataset.py __getitem__
+            # randrange, mirroring the reference), so the same name can
+            # carry different motion across epochs
+            dig = hashlib.sha1(
+                np.ascontiguousarray(motion_row[::8]).tobytes()
+            ).hexdigest()[:16]
+            return f"{name}|{dig}"
+
         def _posteriors(names, motion):
-            if any(n not in pcache for n in names):
+            motion = np.asarray(motion)
+            keys = [_pkey(n, motion[i]) for i, n in enumerate(names)]
+            if any(k not in pcache for k in keys):
                 # encode the whole batch once (static shape -> one
                 # compile) and keep per-sample slices
                 mu, lv = posterior_jit(vae_params, jnp.asarray(motion))
                 mu, lv = np.asarray(mu), np.asarray(lv)
-                for i, n in enumerate(names):
-                    pcache[n] = (mu[i], lv[i])
-            return (np.stack([pcache[n][0] for n in names]),
-                    np.stack([pcache[n][1] for n in names]))
+                for i, k in enumerate(keys):
+                    pcache[k] = (mu[i], lv[i])
+            return (np.stack([pcache[k][0] for k in keys]),
+                    np.stack([pcache[k][1] for k in keys]))
 
         logger.info(
             "frozen-VAE posterior cache enabled (TPU.CACHE_VAE_POSTERIOR)")
@@ -248,6 +264,18 @@ def main(argv=None):
             from jax._src import distributed as _dist
 
             psm = _dist.global_state.preemption_sync_manager
+            if psm is None:
+                # process_count>1 without cli-driven
+                # jax.distributed.initialize (e.g. runtime auto-init) or
+                # with the preemption service disabled: a per-host
+                # SIGTERM flag would desync the collective lockstep (the
+                # signaled host exits, the others hang), so be loud
+                # instead of silently unprotected
+                logger.warning(
+                    "TPU.PREEMPTION_CHECKPOINT: no preemption sync "
+                    "manager on this multi-host runtime — SIGTERM will "
+                    "NOT checkpoint; set TPU.MULTIHOST so cli/train "
+                    "initializes jax.distributed itself")
         else:
             import signal
 

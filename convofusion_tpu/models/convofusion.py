@@ -917,8 +917,8 @@ class CachedSampler:
         self._fns = {}
         self._uncond = {}
         # identity of the params the cached uncond encodes were computed
-        # from; a strong reference keeps the id() from being recycled
-        self._params_leaf = None
+        # from; strong references keep the id()s from being recycled
+        self._params_leaves = None
         self._encode_uncond = jax.jit(model.encode_uncond)
         self._static = dict(num_inference_steps=num_inference_steps,
                             capture_attention=capture_attention,
@@ -929,16 +929,22 @@ class CachedSampler:
         place if relying on object identity is undesirable). Compiled
         executables are params-independent and are kept."""
         self._uncond.clear()
-        self._params_leaf = None
+        self._params_leaves = None
 
     def uncond_for(self, params, arrays):
         # the uncond encodes depend on the weights: detect params changes
         # (evaluating several checkpoints in one process, train-then-
-        # sample loops) by canonical-leaf identity and invalidate
-        leaf = jax.tree_util.tree_leaves(params)[0]
-        if leaf is not self._params_leaf:
+        # sample loops, serving update_params) by the identity of EVERY
+        # leaf — a partial swap that splices new module weights into an
+        # old tree changes some leaf object, even when the first one
+        # (any single canary) survives
+        leaves = jax.tree_util.tree_leaves(params)
+        if self._params_leaves is None or \
+                len(leaves) != len(self._params_leaves) or \
+                any(a is not b for a, b in zip(leaves,
+                                               self._params_leaves)):
             self._uncond.clear()
-            self._params_leaf = leaf
+            self._params_leaves = leaves
         # encode_uncond output is batch-size-independent (single
         # broadcastable rows), so key on the per-sample geometry only and
         # slice to batch 1 before the jit call — a ragged final batch

@@ -349,8 +349,7 @@ def nmt_nfkc_normalize(text: str) -> str:
 # synthetic t5-geometry model (asset-free benchmarking / serving)
 # --------------------------------------------------------------------------
 
-def synthesize_spiece_model(vocab_size: int = 32000,
-                            seed: int = 0) -> SPModel:
+def synthesize_spiece_model(vocab_size: int = 32000) -> SPModel:
     """Build a t5-base-GEOMETRY synthetic unigram model.
 
     Same layout as t5-base's ``spiece.model`` — ``<pad>``/``</s>`` control
@@ -430,8 +429,7 @@ def synthesize_spiece_model(vocab_size: int = 32000,
     return SPModel(pieces=pieces, model_type=1, unk_id=2)
 
 
-def write_synthetic_spiece(path: str, vocab_size: int = 32000,
-                           seed: int = 0) -> str:
+def write_synthetic_spiece(path: str, vocab_size: int = 32000) -> str:
     """Serialize :func:`synthesize_spiece_model` to ``path`` (idempotent:
     an existing non-empty file is kept).  Returns ``path``."""
     import os
@@ -439,7 +437,7 @@ def write_synthetic_spiece(path: str, vocab_size: int = 32000,
     if not (os.path.isfile(path) and os.path.getsize(path) > 0):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         data = serialize_model_proto(
-            synthesize_spiece_model(vocab_size, seed))
+            synthesize_spiece_model(vocab_size))
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(data)

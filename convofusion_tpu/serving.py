@@ -50,6 +50,22 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 
+
+def _resolve(fut: Future, value=None, exc=None) -> None:
+    """Resolve a request future, tolerating client-side ``cancel()``:
+    ``set_result`` on a cancelled Future raises ``InvalidStateError``,
+    which must not poison the rest of the micro-batch."""
+    try:
+        if fut.done():
+            return
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(value)
+    except Exception:
+        pass  # lost the race with a concurrent cancel()
+
+
 @dataclass
 class GestureRequest:
     """One generation request (the per-sample fields of the reference's
@@ -116,6 +132,9 @@ class GestureService:
         # doesn't) — maxsize bounds in-flight device memory
         self._done: "queue.Queue" = queue.Queue(maxsize=2)
         self._stats_lock = threading.Lock()
+        # orders submit()'s closed-check+enqueue against close()'s
+        # sentinel+drain, so no future can slip in behind the drain
+        self._submit_lock = threading.Lock()
         self._n_requests = 0
         self._n_batches = 0
         self._rows_used = 0
@@ -137,11 +156,12 @@ class GestureService:
     # ------------------------------------------------------------ client API
     def submit(self, request: GestureRequest) -> Future:
         """Enqueue; the future resolves to motion (128, nfeats) float32."""
-        if self._closed:
-            raise RuntimeError("service is closed")
         self._validate(request)
-        fut: Future = Future()
-        self._q.put((request, fut, time.perf_counter()))
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("service is closed")
+            fut: Future = Future()
+            self._q.put((request, fut, time.perf_counter()))
         return fut
 
     def generate(self, request: GestureRequest,
@@ -183,13 +203,15 @@ class GestureService:
         """Drain queued requests, stop the pipeline threads.
 
         Requests already in the queue when the shutdown sentinel lands are
-        still served (FIFO); one racing ``submit`` that passed the closed
-        check but enqueued AFTER the sentinel would otherwise hang its
-        future forever — those are failed explicitly after the drain."""
+        still served (FIFO); ``_submit_lock`` orders the closed-check +
+        enqueue in :meth:`submit` against the sentinel, so nothing can
+        land behind it (a drain after the joins catches items from
+        workers that died mid-pipeline)."""
         if self._closed:
             return
-        self._closed = True
-        self._q.put(None)
+        with self._submit_lock:
+            self._closed = True
+            self._q.put(None)
         self._builder.join(timeout=timeout)
         self._worker.join(timeout=timeout)
         self._fetcher.join(timeout=timeout)
@@ -199,9 +221,7 @@ class GestureService:
             except queue.Empty:
                 break
             if item is not None:
-                _, fut, _ = item
-                if not fut.done():
-                    fut.set_exception(RuntimeError("service closed"))
+                _resolve(item[1], exc=RuntimeError("service closed"))
 
     # --------------------------------------------------------------- worker
     def _validate(self, r: GestureRequest) -> None:
@@ -251,8 +271,7 @@ class GestureService:
                 arrays, focus = self._build([r for r, _, _ in batch])
             except Exception as e:
                 for _, fut, _ in batch:
-                    if not fut.done():
-                        fut.set_exception(e)
+                    _resolve(fut, exc=e)
                 continue
             self._ready.put((arrays, focus, batch))
 
@@ -278,8 +297,7 @@ class GestureService:
                 self._done.put((motion, batch))
             except Exception as e:  # resolve, don't kill the worker
                 for _, fut, _ in batch:
-                    if not fut.done():
-                        fut.set_exception(e)
+                    _resolve(fut, exc=e)
 
     def _run_fetch(self) -> None:
         """Stage 3: block on device results, resolve futures, account."""
@@ -293,7 +311,7 @@ class GestureService:
                 motions = np.asarray(motion[:n])
                 now = time.perf_counter()
                 for i, (_, fut, t0) in enumerate(batch):
-                    fut.set_result(motions[i])
+                    _resolve(fut, motions[i])
                 with self._stats_lock:
                     self._n_requests += n
                     self._n_batches += 1
@@ -303,8 +321,7 @@ class GestureService:
                     del self._latencies[:-4096]
             except Exception as e:
                 for _, fut, _ in batch:
-                    if not fut.done():
-                        fut.set_exception(e)
+                    _resolve(fut, exc=e)
 
     def _build(self, reqs: List[GestureRequest]):
         from convofusion_tpu.models.tokenizer import focus_word_indices
@@ -392,6 +409,18 @@ def serve_http(service: GestureService, host: str = "127.0.0.1",
 
 
 # ------------------------------------------------------------------- CLI
+
+def _serve_opt(cfg):
+    """SERVE-block lookup shared by :func:`build_service` and
+    :func:`main` (one resolution rule for every knob)."""
+    serve = cfg.get("SERVE", {})
+
+    def opt(key, default):
+        return serve.get(key, default) if hasattr(serve, "get") else default
+
+    return opt
+
+
 def build_service(cfg, params=None) -> GestureService:
     """Construct a :class:`GestureService` from a merged config.
 
@@ -426,11 +455,7 @@ def build_service(cfg, params=None) -> GestureService:
             else:
                 params, _ = load_checkpoint(ckpt, params)
 
-    serve = cfg.get("SERVE", {})
-
-    def opt(key, default):
-        return serve.get(key, default) if hasattr(serve, "get") else default
-
+    opt = _serve_opt(cfg)
     weg_type = str(cfg.TRAIN.ABLATION.get("WEG_TYPE", "no"))
     return GestureService(
         model, params,
@@ -456,11 +481,7 @@ def main(argv=None):
     cfg = parse_args("test", argv)
     setup_jax(cfg)
     service = build_service(cfg)
-    serve = cfg.get("SERVE", {})
-
-    def opt(key, default):
-        return serve.get(key, default) if hasattr(serve, "get") else default
-
+    opt = _serve_opt(cfg)
     server = serve_http(service, host=str(opt("HOST", "127.0.0.1")),
                         port=int(opt("PORT", 8476)))
     host, port = server.server_address[:2]

@@ -137,22 +137,29 @@ def load_checkpoint(path: str, current_params: Optional[Dict] = None,
     try:
         tree = _checkpointer().restore(str(Path(path).absolute()),
                                        item=item)
-    except (ValueError, TypeError, KeyError):
-        # orbax signals template/on-disk structure mismatch with these
-        # (e.g. "restore item and on-disk value ... do not match");
-        # IO/permission/corruption errors (OSError & friends) propagate
-        # with their original context instead of being masked
+    except Exception as template_err:
+        # orbax's structure-mismatch signal varies across versions
+        # (ValueError/TypeError/KeyError or orbax-specific classes), so
+        # disambiguate by OUTCOME instead of exception type: attempt a
+        # template-less params-only restore.  If that succeeds, the
+        # checkpoint itself is fine and the failure was a structure
+        # mismatch (e.g. a pre-freeze-masking optimizer tree) -> resume
+        # with params only (momentum lost, training continues, warning
+        # cites the original error).  If it ALSO fails, the checkpoint
+        # or IO is genuinely broken -> raise the ORIGINAL error with
+        # full context.
         if item is None:
             raise
-        # checkpoint written under a different optimizer structure (e.g.
-        # pre-freeze-masking runs): restore params only; the caller keeps
-        # a fresh optimizer state (momentum is lost, training continues)
+        try:
+            tree = _checkpointer().restore(str(Path(path).absolute()))
+        except Exception:
+            raise template_err
         import warnings
 
         warnings.warn(
             f"optimizer state in {path} does not match the current "
-            "optimizer structure; resuming with params only")
-        tree = _checkpointer().restore(str(Path(path).absolute()))
+            f"optimizer structure ({template_err!r}); resuming with "
+            "params only")
         tree["opt_state"] = None
     params = tree["params"]
     if current_params is not None:

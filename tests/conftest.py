@@ -59,3 +59,15 @@ def reference_path():
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
     return REFERENCE
+
+
+def pytest_report_header(config):
+    """Make the tier split visible in every run: the default addopts
+    (-m 'not slow', pyproject.toml) deselects the compile/oracle-heavy
+    parity tier unless the marker expression includes it."""
+    expr = (config.getoption("-m") or "").strip()
+    if expr == "not slow":
+        return ("tier: fast only — slow tier (torch-oracle goldens, "
+                "production parity, multi-host) DESELECTED; run "
+                "pytest -m 'slow or not slow' for the full suite")
+    return f"tier: marker expression {expr!r}"
