@@ -104,3 +104,36 @@ def test_sharded_rollout_matches_single_device():
     # SPMD partitioning reorders reductions -> small fp32 noise
     for a, b in zip(plain, sharded):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_cached_posterior_step_matches_single_device():
+    """The production cli/train layout (vae_mu/vae_logvar batch-leading
+    (B,2,8,D), no motion array) must shard over 'data' and match
+    single-device numerics."""
+    cfg = tiny_config("diffusion")
+    model = Convofusion(cfg)
+    raw = synthetic_raw_batch(4, 8)
+    batch, _, _ = prepare_arrays(model, raw)
+    key = jax.random.PRNGKey(2)
+
+    t_single = Trainer(model, cfg, mesh=None)
+    p1, o1 = t_single.init_state(jax.random.PRNGKey(1))
+    mu, lv = jax.jit(model.encode_vae_posterior)(p1, batch["motion_lsn"])
+    cached = dict(batch)
+    cached["vae_mu"], cached["vae_logvar"] = mu, lv
+    del cached["motion_lsn"]
+
+    s1 = t_single.make_train_step()
+    p1, o1, loss1, _ = s1(p1, o1, cached, key)
+
+    mesh = create_mesh(n_data=8, n_model=1)
+    t_multi = Trainer(model, cfg, mesh=mesh)
+    p8, o8 = t_multi.init_state(jax.random.PRNGKey(1))
+    s8 = t_multi.make_train_step()
+    p8, o8, loss8, _ = s8(p8, o8, t_multi.shard_batch(cached), key)
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-4)
+    l1 = jax.tree_util.tree_leaves(p1)[0]
+    l8 = jax.tree_util.tree_leaves(p8)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l8),
+                               rtol=1e-4, atol=1e-5)

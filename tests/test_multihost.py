@@ -159,7 +159,22 @@ def test_two_process_preemption_checkpoints(tmp_path):
             if any(p.poll() is not None for p in procs):
                 break
             time.sleep(2)
-        assert jsonl is not None, "training never produced epoch metrics"
+        if jsonl is None:
+            # distinguish "a worker died" from "still compiling":
+            # surface returncodes and output tails instead of a bare
+            # assert (this poll loop exits on either condition)
+            diag = []
+            for pid, p in enumerate(procs):
+                rc = p.poll()
+                out = ""
+                if rc is not None:
+                    try:
+                        out, _ = p.communicate(timeout=5)
+                    except Exception:
+                        pass
+                diag.append(f"worker {pid} rc={rc}:\n{(out or '')[-2500:]}")
+            pytest.fail("training never produced epoch metrics\n"
+                        + "\n".join(diag))
         procs[1].send_signal(15)  # SIGTERM the NON-saving host
         outs = []
         for p in procs:
