@@ -189,3 +189,27 @@ def test_build_service_from_config():
         assert np.isfinite(m).all()
     finally:
         svc.close()
+
+
+def test_service_batch_equals_direct_sample(service_setup):
+    """A full service micro-batch must be numerically identical to a
+    direct cached-sampler call over the same assembled arrays and key —
+    micro-batching adds routing, not math."""
+    model, params = service_setup
+    reqs = [_req(i) for i in range(4)]
+    svc = GestureService(model, params, batch_size=4, max_wait_ms=2000,
+                         num_inference_steps=STEPS, seed=123)
+    try:
+        futs = [svc.submit(r) for r in reqs]
+        served = np.stack([f.result(timeout=600) for f in futs])
+    finally:
+        svc.close()
+
+    # reproduce the service's dataflow: same batch assembly, same
+    # sampler cache, same first key drawn from seed 123
+    arrays, focus = svc._build(reqs)
+    key = jax.random.split(jax.random.PRNGKey(123))[1]
+    sampler = model.cached_sampler(num_inference_steps=STEPS)
+    motion, _, _ = sampler(params, arrays, key, focus=focus)
+    np.testing.assert_allclose(served, np.asarray(motion),
+                               rtol=1e-5, atol=1e-5)
