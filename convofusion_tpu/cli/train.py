@@ -153,6 +153,7 @@ def main(argv=None):
     # trainable, so its posterior is not a constant of the motion
     use_vae_cache = (
         cfg.TRAIN.STAGE == "diffusion"
+        and model.vae is not None
         and bool(cfg.get("TPU", {}).get("CACHE_VAE_POSTERIOR", True)))
     if use_vae_cache:
         import hashlib

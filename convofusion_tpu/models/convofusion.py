@@ -80,9 +80,25 @@ class Convofusion:
         self.text_pad_len = int(cfg.get("TPU", {}).get("TEXT_PAD_LEN", 64))
         self.weg_parameters = cfg.model.get("weg_parameters", {})
 
-        self.vae = instantiate_from_config(cfg.model.motion_vae)
-        self.laplace_kernel_size = int(
-            cfg.model.motion_vae.params.get("laplace_kernel_size", 0))
+        # vae ablation type (reference convofusion.py:66-72): 'no' runs
+        # the diffusion directly on motion features — the latent space is
+        # the identity, z = motion (B, max_len, nfeats), and decode is a
+        # no-op (reference :258-260, :403-420, :723-730)
+        try:
+            self.vae_type = str(cfg.model.vae_type)
+        except (KeyError, AttributeError):
+            self.vae_type = str(cfg.model.motion_vae.target).split(
+                ".")[-1].lower().replace("vae", "")
+        if self.vae_type == "no":
+            self.latent_tokens = self.max_len
+            self.latent_dim = self.nfeats
+            self.vae = None
+            self.laplace_kernel_size = 0
+        else:
+            self.latent_tokens = 2 * self.n_chunks
+            self.vae = instantiate_from_config(cfg.model.motion_vae)
+            self.laplace_kernel_size = int(
+                cfg.model.motion_vae.params.get("laplace_kernel_size", 0))
         ds_name = cfg.TRAIN.DATASETS[0].upper()
         try:
             self.bones = [tuple(b) for b in cfg.DATASET[ds_name].BONES]
@@ -151,12 +167,12 @@ class Convofusion:
     def init_params(self, key) -> Dict:
         keys = jax.random.split(key, 5)
         b, t = 2, self.text_pad_len
-        params = {
-            "vae": self.vae.init(
+        params = {}
+        if self.vae is not None:
+            params["vae"] = self.vae.init(
                 {"params": keys[0]},
                 jnp.zeros((b, self.max_len, self.nfeats)),
-            )["params"],
-        }
+            )["params"]
         if self.stage in ("diffusion", "vae_diffusion"):
             ids = jnp.zeros((b, t), jnp.int32)
             tmask = jnp.ones((b, t), bool)
@@ -181,7 +197,7 @@ class Convofusion:
             }
             params["denoiser"] = self.denoiser.init(
                 {"params": keys[4]},
-                jnp.zeros((b, 2 * self.n_chunks, self.latent_dim)),
+                jnp.zeros((b, self.latent_tokens, self.latent_dim)),
                 jnp.zeros((), jnp.int32), cond)["params"]
         return params
 
@@ -233,6 +249,11 @@ class Convofusion:
 
     def train_vae_loss(self, params, batch, key) -> Tuple[jnp.ndarray, Dict]:
         """Stage-1 loss (convofusion.py:647-715 + losses update)."""
+        if self.vae is None:
+            # reference convofusion.py:652-664 raises for non-vae types
+            # in the vae stage
+            raise TypeError(
+                "vae stage requires a motion VAE (vae_type != 'no')")
         motion = batch["motion"]
         k_sample, k_drop = jax.random.split(key)
         (latent, (mu, logvar), _) = self.vae.apply(
@@ -431,15 +452,23 @@ class Convofusion:
             std = jnp.exp(0.5 * logvar)
             latent = mu + std * jax.random.normal(k_enc, mu.shape,
                                                   mu.dtype)
+        elif self.vae_type == "no":
+            # identity latent space (reference convofusion.py:723-727):
+            # the motion features ARE the diffusion variables
+            latent = None
         else:
             latent, _, _ = self.vae_encode(
                 jax.lax.stop_gradient(params), batch["motion_lsn"],
                 sample_key=k_enc)
-        latent = jax.lax.stop_gradient(latent)
-        # (2, B, 8, D) -> (B, 16, D) interleaved body/hands per chunk
-        z = jnp.transpose(latent, (1, 2, 0, 3))
-        b = z.shape[0]
-        z = z.reshape(b, 2 * self.n_chunks, self.latent_dim)
+        if latent is None:
+            z = jax.lax.stop_gradient(batch["motion_lsn"])
+            b = z.shape[0]
+        else:
+            latent = jax.lax.stop_gradient(latent)
+            # (2, B, 8, D) -> (B, 16, D) interleaved body/hands per chunk
+            z = jnp.transpose(latent, (1, 2, 0, 3))
+            b = z.shape[0]
+            z = z.reshape(b, 2 * self.n_chunks, self.latent_dim)
 
         dropped = self.apply_modality_dropout(k_drop, batch)
         rngs = {"dropout": k_dropout}
@@ -600,7 +629,7 @@ class Convofusion:
         n_steps = num_inference_steps or self.num_inference_timesteps
         ts = jnp.asarray(self.scheduler.timesteps(n_steps))
         prev_ts = jnp.asarray(self.scheduler.prev_timesteps(n_steps))
-        n_tokens = 2 * self.n_chunks
+        n_tokens = self.latent_tokens
 
         k_init, k_loop = jax.random.split(key)
         init_noise = jax.random.normal(
@@ -875,10 +904,15 @@ class Convofusion:
             num_inference_steps, capture_attention, weg, preseq,
             weg_params)
 
-        # (B, 16, D) -> (2, B, 8, D) for the VAE decoder
-        z = latents.reshape(b, self.n_chunks, 2, self.latent_dim)
-        z = jnp.stack([z[:, :, 0], z[:, :, 1]], axis=0)
-        motion = self.vae_decode(params, z)
+        if self.vae_type == "no":
+            # identity decode: latents are motion features already
+            # (reference convofusion.py:258-260)
+            motion = latents
+        else:
+            # (B, 16, D) -> (2, B, 8, D) for the VAE decoder
+            z = latents.reshape(b, self.n_chunks, 2, self.latent_dim)
+            z = jnp.stack([z[:, :, 0], z[:, :, 1]], axis=0)
+            motion = self.vae_decode(params, z)
         return motion, latents, att_seq
 
     def cached_sampler(self, num_inference_steps=None,
