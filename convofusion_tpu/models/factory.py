@@ -94,6 +94,24 @@ def build_denoiser(
     compute_dtype="float32",
     **_: object,
 ) -> Denoiser:
+    if ablation is not None:
+        try:
+            causal = bool(ablation.get("CAUSAL_ATTN", False)
+                          if hasattr(ablation, "get")
+                          else getattr(ablation, "CAUSAL_ATTN", False))
+        except Exception:
+            causal = False
+        if causal:
+            # the reference's CAUSAL_ATTN knob cannot run: it passes
+            # is_causal=True to its CROSS-attentions with attn_mask=None
+            # (cross_attention.py:597-622), which torch rejects with
+            # "Need attn_mask if specifying the is_causal hint" — the
+            # ablation has no defined semantics to reproduce
+            raise ValueError(
+                "ABLATION.CAUSAL_ATTN=True is not supported: the "
+                "reference implementation of this knob raises in torch "
+                "(is_causal hint without attn_mask on cross-attention), "
+                "so there is no behavior to match")
     return Denoiser(
         nfeats=int(nfeats),
         condition=str(condition),

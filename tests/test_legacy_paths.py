@@ -239,3 +239,18 @@ def test_controller_spk_ta_mode():
     _, _, _, _, none_fused = ctrl.apply({"params": params}, text_emb,
                                         text_mask, mel, "lsn")
     assert none_fused is None
+
+
+def test_causal_attn_knob_rejected():
+    """ABLATION.CAUSAL_ATTN is a broken reference knob: is_causal=True
+    without attn_mask on its cross-attentions raises in torch
+    (cross_attention.py:597-622), so this framework rejects it loudly
+    instead of inventing semantics."""
+    import pytest as _pytest
+
+    from convofusion_tpu.models.factory import build_denoiser
+
+    with _pytest.raises(ValueError, match="CAUSAL_ATTN"):
+        build_denoiser(ablation={"CAUSAL_ATTN": True})
+    # default-off constructs fine
+    build_denoiser(ablation={"CAUSAL_ATTN": False})
