@@ -376,6 +376,17 @@ def main(argv=None):
     wait_for_checkpoints()
     if metrics is not None:
         metrics.close()
+    if multihost:
+        # end-of-run sync BEFORE processes head into jax.distributed's
+        # shutdown barrier: process 0 finishes checkpoint/metrics IO
+        # long after the other hosts go idle, and on slow hosts that
+        # skew can exceed the coordination service's shutdown deadline
+        # (observed: "Shutdown barrier ... DEADLINE_EXCEEDED, 1/2 tasks"
+        # on a 1-CPU runner). A cheap collective holds everyone here
+        # until the slowest host is also done.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("convofusion_train_end")
     return params
 
 
