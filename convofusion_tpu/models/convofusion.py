@@ -83,12 +83,24 @@ class Convofusion:
         # vae ablation type (reference convofusion.py:66-72): 'no' runs
         # the diffusion directly on motion features — the latent space is
         # the identity, z = motion (B, max_len, nfeats), and decode is a
-        # no-op (reference :258-260, :403-420, :723-730)
-        try:
-            self.vae_type = str(cfg.model.vae_type)
-        except (KeyError, AttributeError):
-            self.vae_type = str(cfg.model.motion_vae.target).split(
-                ".")[-1].lower().replace("vae", "")
+        # no-op (reference :258-260, :403-420, :723-730).
+        # Resolution: the schema key TRAIN.ABLATION.VAE_TYPE (base.yaml)
+        # first, then the reference's cfg.model.vae_type, then derive
+        # from the motion_vae target name like the reference's except
+        # path.  NB YAML 1.1 parses an unquoted `no` as False — that is
+        # this ablation's most natural spelling, so normalize it.
+        def _norm(v):
+            return "no" if v is False else str(v)
+
+        vae_type = cfg.model.get("vae_type")  # explicit override first
+        if vae_type is None:
+            try:
+                vae_type = cfg.TRAIN.ABLATION.get("VAE_TYPE")
+            except (KeyError, AttributeError):
+                pass
+        self.vae_type = (_norm(vae_type) if vae_type is not None
+                         else str(cfg.model.motion_vae.target).split(
+                             ".")[-1].lower().replace("vae", ""))
         if self.vae_type == "no":
             self.latent_tokens = self.max_len
             self.latent_dim = self.nfeats

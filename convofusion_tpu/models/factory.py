@@ -28,6 +28,21 @@ def _dtype(name):
         str(name), jnp.float32)
 
 
+
+def _ablation_flag(ablation, name: str, default: bool = False) -> bool:
+    """Read a boolean TRAIN.ABLATION flag from a dict-like or namespace
+    container.  Missing container/key -> default; a present value is
+    interpreted strictly (no exception swallowing — a flag that cannot
+    be read must not silently pick the default)."""
+    if ablation is None:
+        return default
+    if hasattr(ablation, "get"):
+        value = ablation.get(name, default)
+    else:
+        value = getattr(ablation, name, default)
+    return bool(value)
+
+
 def build_vae(
     ablation=None,
     nfeats: int = 189,
@@ -44,14 +59,7 @@ def build_vae(
     compute_dtype="float32",
     **_: object,
 ) -> ConvoFusionVae:
-    mlp_dist = False
-    if ablation is not None:
-        try:
-            mlp_dist = bool(ablation.get("MLP_DIST", False)
-                            if hasattr(ablation, "get")
-                            else getattr(ablation, "MLP_DIST", False))
-        except Exception:
-            pass
+    mlp_dist = _ablation_flag(ablation, "MLP_DIST")
     return ConvoFusionVae(
         nfeats=int(nfeats),
         latent_size=int(latent_dim[0]),
@@ -94,24 +102,17 @@ def build_denoiser(
     compute_dtype="float32",
     **_: object,
 ) -> Denoiser:
-    if ablation is not None:
-        try:
-            causal = bool(ablation.get("CAUSAL_ATTN", False)
-                          if hasattr(ablation, "get")
-                          else getattr(ablation, "CAUSAL_ATTN", False))
-        except Exception:
-            causal = False
-        if causal:
-            # the reference's CAUSAL_ATTN knob cannot run: it passes
-            # is_causal=True to its CROSS-attentions with attn_mask=None
-            # (cross_attention.py:597-622), which torch rejects with
-            # "Need attn_mask if specifying the is_causal hint" — the
-            # ablation has no defined semantics to reproduce
-            raise ValueError(
-                "ABLATION.CAUSAL_ATTN=True is not supported: the "
-                "reference implementation of this knob raises in torch "
-                "(is_causal hint without attn_mask on cross-attention), "
-                "so there is no behavior to match")
+    if _ablation_flag(ablation, "CAUSAL_ATTN"):
+        # the reference's CAUSAL_ATTN knob cannot run: it passes
+        # is_causal=True to its CROSS-attentions with attn_mask=None
+        # (cross_attention.py:597-622), which torch rejects with
+        # "Need attn_mask if specifying the is_causal hint" — the
+        # ablation has no defined semantics to reproduce
+        raise ValueError(
+            "ABLATION.CAUSAL_ATTN=True is not supported: the "
+            "reference implementation of this knob raises in torch "
+            "(is_causal hint without attn_mask on cross-attention), "
+            "so there is no behavior to match")
     return Denoiser(
         nfeats=int(nfeats),
         condition=str(condition),

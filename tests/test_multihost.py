@@ -181,9 +181,17 @@ def test_two_process_preemption_checkpoints(tmp_path):
             out, _ = p.communicate(timeout=420)
             outs.append(out)
     except subprocess.TimeoutExpired:
-        for q in procs:
-            q.kill()
         pytest.fail("preempted workers did not exit")
+    finally:
+        # never leak spin-forever workers, whichever failure path fired
+        # (incl. pytest.fail from the diagnostics above)
+        for q in procs:
+            if q.poll() is None:
+                q.kill()
+                try:
+                    q.communicate(timeout=10)
+                except Exception:
+                    pass
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} died:\n{out[-4000:]}"
         assert "preemption signal" in out, f"worker {pid}:\n{out[-2000:]}"
@@ -231,8 +239,14 @@ def test_single_process_sigterm_checkpoints(tmp_path):
         p.send_signal(15)
         out, _ = p.communicate(timeout=420)
     except subprocess.TimeoutExpired:
-        p.kill()
         pytest.fail("worker did not exit after SIGTERM")
+    finally:
+        if p.poll() is None:   # never leak a spin-forever worker
+            p.kill()
+            try:
+                p.communicate(timeout=10)
+            except Exception:
+                pass
     assert p.returncode == 0, out[-4000:]
     assert "preemption signal" in out, out[-2000:]
     assert list((exp / "checkpoints").glob("epoch=*"))

@@ -70,3 +70,24 @@ def test_vae_stage_rejects_no_vae():
     with pytest.raises(TypeError):
         model.train_vae_loss({}, {"motion": np.zeros((2, 128, 189))},
                              jax.random.PRNGKey(0))
+
+
+def test_schema_key_and_yaml_bool_normalization():
+    """TRAIN.ABLATION.VAE_TYPE is the schema's spelling (base.yaml), and
+    YAML 1.1 parses an unquoted `no` as False — both must activate the
+    ablation; the default 'convofusion' must keep the VAE."""
+    cfg = tiny_config("diffusion")
+    cfg.model["latent_dim"] = [1, 189]
+    cfg.TRAIN.ABLATION["VAE_TYPE"] = False  # yaml `VAE_TYPE: no`
+    model = Convofusion(cfg)
+    assert model.vae_type == "no" and model.vae is None
+
+    cfg2 = tiny_config("diffusion")
+    cfg2.model["latent_dim"] = [1, 189]
+    cfg2.TRAIN.ABLATION["VAE_TYPE"] = "no"
+    model2 = Convofusion(cfg2)
+    assert model2.vae_type == "no" and model2.vae is None
+
+    cfg3 = tiny_config("diffusion")
+    model3 = Convofusion(cfg3)
+    assert model3.vae_type == "convofusion" and model3.vae is not None
