@@ -143,7 +143,11 @@ def main():
     cfg.TPU["SCAN_UNROLL"] = args.unroll
 
     tokenizer = None
-    if not args.tiny and args.tokenizer != "hash":
+    # --tiny defaults to the hash tokenizer for speed, but honor an
+    # EXPLICIT --tokenizer synthetic request even in a tiny smoke run
+    want_spiece = (args.tokenizer == "synthetic"
+                   or (not args.tiny and args.tokenizer != "hash"))
+    if want_spiece:
         # run the PRODUCTION tokenizer pipeline (native proto parse ->
         # tokenizers Unigram Viterbi -> subword word maps) even without
         # the real t5-base asset: synthesize a t5-geometry spiece.model
@@ -168,6 +172,12 @@ def main():
                      "SentencePiece pipeline; ids not t5-base)")
         tokenizer = SentencePieceTokenizer(spiece, max_length=200)
         print(f"# tokenizer: {which}", file=sys.stderr)
+        # the embedding table must cover the tokenizer's id space — the
+        # tiny config's 1000-row table under 32k spiece ids would gather
+        # out of range (observed: non-finite motion output)
+        need = int(tokenizer.vocab_size)
+        if int(cfg.model.text_encoder.params.get("vocab_size", 0)) < need:
+            cfg.model.text_encoder.params["vocab_size"] = need
 
     model = Convofusion(cfg, tokenizer=tokenizer)
     params = model.init_params(jax.random.PRNGKey(0))

@@ -17,7 +17,7 @@ import numpy as np
 
 def main(argv=None):
     from convofusion_tpu.cli.focus import select_focus_words
-    from convofusion_tpu.config import parse_args
+    from convofusion_tpu.config import ablation_flag, parse_args
     from convofusion_tpu.data.datamodule import get_datasets
     from convofusion_tpu.models.convofusion import Convofusion
     from convofusion_tpu.models.results import (
@@ -53,7 +53,7 @@ def main(argv=None):
     out_dir = os.path.join(
         str(cfg.TEST.FOLDER), str(cfg.model.model_type), str(cfg.NAME),
         "samples_" + cfg.TIME)
-    weg_type = str(cfg.TRAIN.ABLATION.get("WEG_TYPE", "no"))
+    weg_type = ablation_flag(cfg, "WEG_TYPE")
     num_steps = int(cfg.model.scheduler.get("num_inference_timesteps",
                                             1000))
     capture = "all" if cfg.TEST.SAVE_PREDICTIONS else "none"

@@ -162,14 +162,22 @@ def main(argv=None):
             jnp.array, params["vae"])}
         posterior_jit = jax.jit(model.encode_vae_posterior)
         pcache: dict = {}
+        # bound host RAM: each entry is ~8 KB of (mu, logvar); random
+        # listener picks mint new content keys every epoch, so without a
+        # cap the cache grows unboundedly over a long run
+        pcache_cap = int(
+            cfg.get("TPU", {}).get("VAE_POSTERIOR_CACHE_CAP", 16384))
 
         def _pkey(name, motion_row):
             # key on CONTENT, not just name: multi-listener entries pick
             # a random listener per epoch (data/dataset.py __getitem__
             # randrange, mirroring the reference), so the same name can
-            # carry different motion across epochs
+            # carry different motion across epochs.  Hash the FULL row —
+            # SHA-1 over ~96 KB is negligible next to the encode it
+            # replaces, and a sampled-frame hash could silently alias
+            # two different motions to one posterior.
             dig = hashlib.sha1(
-                np.ascontiguousarray(motion_row[::8]).tobytes()
+                np.ascontiguousarray(motion_row).tobytes()
             ).hexdigest()[:16]
             return f"{name}|{dig}"
 
@@ -181,6 +189,8 @@ def main(argv=None):
                 # compile) and keep per-sample slices
                 mu, lv = posterior_jit(vae_params, jnp.asarray(motion))
                 mu, lv = np.asarray(mu), np.asarray(lv)
+                if len(pcache) + len(keys) > pcache_cap:
+                    pcache.clear()
                 for i, k in enumerate(keys):
                     pcache[k] = (mu[i], lv[i])
             return (np.stack([pcache[k][0] for k in keys]),

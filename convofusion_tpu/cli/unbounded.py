@@ -204,7 +204,7 @@ def rollout(model, params, batch, key, window_frames: int = 128,
 
 
 def main(argv=None):
-    from convofusion_tpu.config import parse_args
+    from convofusion_tpu.config import ablation_flag, parse_args
     from convofusion_tpu.data.datamodule import get_datasets
     from convofusion_tpu.models.convofusion import Convofusion
     from convofusion_tpu.train.checkpoint import (
@@ -240,7 +240,7 @@ def main(argv=None):
     out_dir = os.path.join(
         str(cfg.TEST.FOLDER), str(cfg.model.model_type), str(cfg.NAME),
         "unbounded_" + cfg.TIME)
-    weg_type = str(cfg.TRAIN.ABLATION.get("WEG_TYPE", "no"))
+    weg_type = ablation_flag(cfg, "WEG_TYPE")
     num_steps = int(cfg.model.scheduler.get("num_inference_timesteps",
                                             1000))
 

@@ -41,6 +41,25 @@ TARGET_ALIASES = {
 }
 
 
+def ablation_flag(cfg, key: str, default: str = "no") -> str:
+    """Read a TRAIN.ABLATION string flag, normalizing the YAML-1.1 footgun.
+
+    The flags' most natural spelling is the bare word ``no``, which YAML 1.1
+    parses as boolean False; ``str(False)`` is ``"False"``, which silently
+    flips `== "no"` gates the wrong way. Map False back to ``"no"`` (and
+    True to ``"yes"`` for symmetry) before stringifying.
+    """
+    try:
+        v = cfg.TRAIN.ABLATION.get(key, default)
+    except (KeyError, AttributeError):
+        v = default
+    if v is False:
+        return "no"
+    if v is True:
+        return "yes"
+    return str(v)
+
+
 def get_obj_from_str(string: str):
     string = TARGET_ALIASES.get(string, string)
     module, cls = string.rsplit(".", 1)

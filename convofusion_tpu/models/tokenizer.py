@@ -122,6 +122,12 @@ class _FastTokenizerAdapter:
              "pad_token": "<pad>", "unk_token": "<unk>"})
         self.max_length = max_length
 
+    @property
+    def vocab_size(self) -> int:
+        """Id space incl. runtime-added specials — the minimum embedding
+        rows a text encoder paired with this tokenizer needs."""
+        return int(len(self.tok))
+
     def __call__(self, texts: Sequence[str],
                  pad_to: Optional[int] = None) -> TokenBatch:
         wrapped = [t if t == UNCOND_TEXT else f"<bos> {t} <eos>"

@@ -40,6 +40,7 @@ the sampler's uncond cache invalidates itself on params identity
 from __future__ import annotations
 
 import json
+import logging
 import queue
 import threading
 import time
@@ -215,13 +216,32 @@ class GestureService:
         self._builder.join(timeout=timeout)
         self._worker.join(timeout=timeout)
         self._fetcher.join(timeout=timeout)
+        for th in (self._builder, self._worker, self._fetcher):
+            if th.is_alive():
+                logging.getLogger(__name__).warning(
+                    "GestureService.close: %s did not join within %.1fs",
+                    th.name, timeout)
+        # drain every stage, not just the intake queue: if a stage thread
+        # wedged (join timed out above) its downstream batches would
+        # otherwise strand futures forever for callers blocked on
+        # Future.result() with no timeout
+        closed = RuntimeError("service closed")
         while True:
             try:
                 item = self._q.get_nowait()
             except queue.Empty:
                 break
             if item is not None:
-                _resolve(item[1], exc=RuntimeError("service closed"))
+                _resolve(item[1], exc=closed)
+        for q in (self._ready, self._done):
+            while True:
+                try:
+                    item = q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    for _, fut, _ in item[-1]:
+                        _resolve(fut, exc=closed)
 
     # --------------------------------------------------------------- worker
     def _validate(self, r: GestureRequest) -> None:
@@ -431,6 +451,7 @@ def build_service(cfg, params=None) -> GestureService:
     word-excitation path and honors per-request focus words)."""
     import jax
 
+    from convofusion_tpu.config import ablation_flag
     from convofusion_tpu.models.convofusion import Convofusion
 
     # serving runs without a datamodule, so inject the production feature
@@ -456,7 +477,7 @@ def build_service(cfg, params=None) -> GestureService:
                 params, _ = load_checkpoint(ckpt, params)
 
     opt = _serve_opt(cfg)
-    weg_type = str(cfg.TRAIN.ABLATION.get("WEG_TYPE", "no"))
+    weg_type = ablation_flag(cfg, "WEG_TYPE")
     return GestureService(
         model, params,
         batch_size=int(opt("BATCH_SIZE", cfg.TEST.get("BATCH_SIZE", 8))),
