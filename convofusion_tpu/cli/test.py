@@ -41,6 +41,13 @@ def main(argv=None):
     key = jax.random.PRNGKey(int(cfg.SEED_VALUE))
     key, k_init = jax.random.split(key)
     params = model.init_params(k_init)
+    # orbax checkpoints strip the frozen T5 trunk (like the reference's
+    # on_save_checkpoint, base.py:83-92); reinjection pulls from the
+    # current tree, so load real t5-base weights from the asset drop
+    # BEFORE the checkpoint load (utils/assets.py)
+    from convofusion_tpu.train.checkpoint import maybe_load_t5_assets
+
+    params = maybe_load_t5_assets(params)
 
     ckpt = str(cfg.TEST.CHECKPOINTS)
     if ckpt:
@@ -49,6 +56,13 @@ def main(argv=None):
         else:
             params, _ = load_checkpoint(ckpt, params)
         logger.info(f"loaded checkpoint {ckpt}")
+
+    # multi-host: the reference forces a single device for test
+    # (config.py:92-95); under process_count > 1 we keep its semantics —
+    # every host computes identical samples from the replicated params
+    # (no collectives in the sampler), and ONLY process 0 writes result
+    # artifacts, so N hosts sharing a results dir don't race
+    is_main = jax.process_index() == 0
 
     out_dir = os.path.join(
         str(cfg.TEST.FOLDER), str(cfg.model.model_type), str(cfg.NAME),
@@ -98,7 +112,7 @@ def main(argv=None):
             key, k = jax.random.split(key)
             latent, _, _ = model.vae_encode(params, motion, sample_key=k)
             recon = model.vae_decode(params, latent)
-            if cfg.TEST.SAVE_PREDICTIONS:
+            if cfg.TEST.SAVE_PREDICTIONS and is_main:
                 save_vae_results(out_dir, np.asarray(motion),
                                  np.asarray(recon), batch["length"],
                                  batch["name"])
@@ -127,7 +141,7 @@ def main(argv=None):
             f"gen time: {times[-1]:.2f}s for {len(batch['length'])} "
             f"samples")
 
-        if cfg.TEST.SAVE_PREDICTIONS:
+        if cfg.TEST.SAVE_PREDICTIONS and is_main:
             wrapped_lsn = model.tokenizer.wrapped_texts(batch["text_lsn"])
             wrapped_spk = model.tokenizer.wrapped_texts(batch["text_spk"])
             word_maps = {
@@ -155,9 +169,16 @@ def main(argv=None):
     if times:
         logger.info(
             f"mean time/batch: {np.mean(times):.2f}s over {len(times)}")
-    if timer:
+    if timer and is_main:
         timer.dump()
-    print(f"results saved to {out_dir}")
+    if is_main:
+        print(f"results saved to {out_dir}")
+    if jax.process_count() > 1:
+        # hold every host until process 0 finishes its writes, so a
+        # caller seeing THIS process exit can rely on the artifacts
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("convofusion_test_end")
     return out_dir
 
 

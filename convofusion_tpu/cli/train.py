@@ -89,6 +89,11 @@ def main(argv=None):
     key = jax.random.PRNGKey(int(cfg.SEED_VALUE))
     key, k_init = jax.random.split(key)
     params, opt_state = trainer.init_state(k_init)
+    # real t5-base weights auto-activate from the asset drop
+    # (utils/assets.py), mirroring the reference's from_pretrained
+    from convofusion_tpu.train.checkpoint import maybe_load_t5_assets
+
+    params = maybe_load_t5_assets(params)
 
     ckpt_dir = os.path.join(cfg.FOLDER_EXP, "checkpoints")
     start_epoch = int(cfg.TRAIN.START_EPOCH)

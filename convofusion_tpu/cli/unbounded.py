@@ -229,6 +229,9 @@ def main(argv=None):
     key = jax.random.PRNGKey(int(cfg.SEED_VALUE))
     key, k_init = jax.random.split(key)
     params = model.init_params(k_init)
+    from convofusion_tpu.train.checkpoint import maybe_load_t5_assets
+
+    params = maybe_load_t5_assets(params)  # asset drop (utils/assets.py)
     ckpt = str(cfg.TEST.CHECKPOINTS)
     if ckpt:
         if ckpt.endswith((".ckpt", ".pt", ".pth", ".bin")):

@@ -54,6 +54,14 @@ def evaluate_results(result_dir: str, mode: str = "monadic",
 
     fid_extractor = fid_params = None
     fid_random_init = False
+    if not (fidnet_path and os.path.exists(fidnet_path)):
+        # asset-drop contract (utils/assets.py): the released FID net
+        # auto-activates when present
+        from convofusion_tpu.utils.assets import asset_path
+
+        dropped = asset_path("eval/last_499.bin")
+        if dropped:
+            fidnet_path = dropped
     if fidnet_path and os.path.exists(fidnet_path):
         fid_extractor = HalfEmbeddingNet(FID_POSE_LENGTH, 189, 300)
         fid_params = load_torch_fidnet(fidnet_path)

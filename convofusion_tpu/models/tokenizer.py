@@ -184,8 +184,9 @@ class SentencePieceTokenizer(_FastTokenizerAdapter):
 
 
 def find_spiece(modelpath: str) -> Optional[str]:
-    """Locate a ``spiece.model`` for ``modelpath`` (file, dir, or HF cache
-    layout ``models--t5-base/snapshots/*/spiece.model``)."""
+    """Locate a ``spiece.model`` for ``modelpath`` (file, dir, the
+    documented asset-drop tree — utils/assets.py — or the HF cache layout
+    ``models--t5-base/snapshots/*/spiece.model``)."""
     import glob
     import os
 
@@ -194,6 +195,13 @@ def find_spiece(modelpath: str) -> Optional[str]:
     candidates = []
     if os.path.isdir(modelpath):
         candidates.append(os.path.join(modelpath, "spiece.model"))
+    if "/" not in str(modelpath) or str(modelpath).count("/") == 1:
+        # bare model names ('t5-base', 'google/t5-base'): check the
+        # asset-drop contract first (utils/assets.py)
+        from convofusion_tpu.utils.assets import assets_root
+
+        candidates.append(os.path.join(
+            assets_root(), str(modelpath).split("/")[-1], "spiece.model"))
     cache = os.environ.get(
         "HF_HOME", os.path.expanduser("~/.cache/huggingface"))
     slug = "models--" + str(modelpath).replace("/", "--")

@@ -94,6 +94,12 @@ class GestureRequest:
         )
 
 
+class ServiceOverloaded(RuntimeError):
+    """Raised by :meth:`GestureService.submit` when the intake queue is
+    at ``max_queue`` — callers should back off and retry; the HTTP
+    front-end maps this to 503 + Retry-After."""
+
+
 class GestureService:
     """Micro-batching gesture generation service.
 
@@ -102,6 +108,11 @@ class GestureService:
     compiles the word-excitation-guidance path and honors per-request
     ``focus_words`` (requests without focus words run with an all-invalid
     focus mask, which is a no-op refinement).
+
+    ``max_queue`` bounds the intake queue (default ``8 * batch_size``):
+    when producers outrun the device, further submits raise
+    :class:`ServiceOverloaded` instead of growing latency without bound.
+    Pass ``0`` for unbounded intake.
     """
 
     def __init__(self, model, params, batch_size: int = 8,
@@ -109,7 +120,8 @@ class GestureService:
                  num_inference_steps: Optional[int] = None,
                  weg: bool = False, weg_max_focus: int = 8,
                  mel_frames: int = 161, n_mels: int = 80,
-                 n_chunks: int = 8, seed: int = 0):
+                 n_chunks: int = 8, seed: int = 0,
+                 max_queue: Optional[int] = None):
         import jax
 
         self.model = model
@@ -124,6 +136,8 @@ class GestureService:
         self._sampler = model.cached_sampler(
             num_inference_steps=num_inference_steps)
         self._key = jax.random.PRNGKey(seed)
+        self.max_queue = (8 * self.batch_size if max_queue is None
+                          else int(max_queue))
         self._q: "queue.Queue" = queue.Queue()
         # one-slot hand-off: the builder assembles batch N+1 on host CPU
         # while the device thread runs batch N on the chip
@@ -138,6 +152,7 @@ class GestureService:
         self._submit_lock = threading.Lock()
         self._n_requests = 0
         self._n_batches = 0
+        self._n_rejected = 0
         self._rows_used = 0
         self._latencies: List[float] = []
         self._closed = False
@@ -161,6 +176,15 @@ class GestureService:
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("service is closed")
+            # backpressure: reject instead of queueing unbounded latency
+            # (qsize is exact here — submits are serialized by this lock
+            # and the consumer only ever shrinks the queue)
+            if self.max_queue and self._q.qsize() >= self.max_queue:
+                with self._stats_lock:
+                    self._n_rejected += 1
+                raise ServiceOverloaded(
+                    f"intake queue full ({self.max_queue} requests); "
+                    f"retry later")
             fut: Future = Future()
             self._q.put((request, fut, time.perf_counter()))
         return fut
@@ -187,6 +211,8 @@ class GestureService:
             return {
                 "requests": self._n_requests,
                 "batches": self._n_batches,
+                "rejected": self._n_rejected,
+                "queue_depth": self._q.qsize(),
                 "occupancy": (self._rows_used / cap) if cap else 0.0,
                 "latency_p50_ms": pct(0.50) * 1e3,
                 "latency_p95_ms": pct(0.95) * 1e3,
@@ -197,6 +223,7 @@ class GestureService:
         with self._stats_lock:
             self._n_requests = 0
             self._n_batches = 0
+            self._n_rejected = 0
             self._rows_used = 0
             self._latencies.clear()
 
@@ -417,6 +444,15 @@ def serve_http(service: GestureService, host: str = "127.0.0.1",
                     "motion": np.asarray(motion, np.float64).tolist(),
                     "latency_ms": (time.perf_counter() - t0) * 1e3,
                 })
+            except ServiceOverloaded as e:
+                # advise one batch window before retrying
+                self.send_response(503)
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(body)
             except ValueError as e:
                 self._send(400, {"error": str(e)})
             except Exception as e:
@@ -446,9 +482,11 @@ def build_service(cfg, params=None) -> GestureService:
 
     Knobs: ``TEST.CHECKPOINTS`` (orbax dir or torch file, same resolution
     as cli/test.py), ``SERVE.BATCH_SIZE`` (default ``TEST.BATCH_SIZE``),
-    ``SERVE.MAX_WAIT_MS``, ``model.scheduler.num_inference_timesteps``,
-    and ``TRAIN.ABLATION.WEG_TYPE`` (any value but ``no`` compiles the
-    word-excitation path and honors per-request focus words)."""
+    ``SERVE.MAX_WAIT_MS``, ``SERVE.MAX_QUEUE`` (intake bound; 0 =
+    unbounded, absent = 8x batch), ``model.scheduler.
+    num_inference_timesteps``, and ``TRAIN.ABLATION.WEG_TYPE`` (any
+    value but ``no`` compiles the word-excitation path and honors
+    per-request focus words)."""
     import jax
 
     from convofusion_tpu.config import ablation_flag
@@ -464,6 +502,9 @@ def build_service(cfg, params=None) -> GestureService:
     if params is None:
         params = model.init_params(
             jax.random.PRNGKey(int(cfg.get("SEED_VALUE", 0))))
+        from convofusion_tpu.train.checkpoint import maybe_load_t5_assets
+
+        params = maybe_load_t5_assets(params)  # utils/assets.py drop
         ckpt = str(cfg.TEST.get("CHECKPOINTS", "") or "")
         if ckpt:
             from convofusion_tpu.train.checkpoint import (
@@ -486,6 +527,8 @@ def build_service(cfg, params=None) -> GestureService:
             cfg.model.scheduler.get("num_inference_timesteps", 1000)),
         weg=weg_type != "no",
         seed=int(cfg.get("SEED_VALUE", 0)),
+        max_queue=(int(opt("MAX_QUEUE", -1))
+                   if int(opt("MAX_QUEUE", -1)) >= 0 else None),
     )
 
 

@@ -205,6 +205,51 @@ def _torch_state_dict(path: str) -> Dict[str, np.ndarray]:
         {k: v for k, v in sd.items() if hasattr(v, "detach")})
 
 
+def maybe_load_t5_assets(params: Dict,
+                         num_layers: Optional[int] = None) -> Dict:
+    """Inject real t5-base encoder weights from the documented asset
+    drop (utils/assets.py) into a freshly initialized param tree,
+    mirroring the reference's ``from_pretrained('t5-base')``
+    (reference t5.py:28).  No-op when the asset is absent, the tree has
+    no text encoder, or the geometry differs (non-production configs)."""
+    from convofusion_tpu.utils.assets import asset_path
+
+    te = params.get("text_encoder")
+    if not isinstance(te, dict) or "text_model" not in te:
+        return params
+    path = (asset_path("t5-base/pytorch_model.bin")
+            or asset_path("t5-base/model.safetensors"))
+    if path is None:
+        return params
+    from convofusion_tpu.models.t5 import t5_params_from_torch
+
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        sd = load_file(path)
+    else:
+        sd = _torch_state_dict(path)
+    embed = sd.get("encoder.embed_tokens.weight", sd.get("shared.weight"))
+    cur = te["text_model"]["embed_tokens"]["embedding"]
+    if embed is None or tuple(embed.shape) != tuple(cur.shape):
+        import warnings
+
+        warnings.warn(
+            f"t5-base asset at {path} has embed shape "
+            f"{None if embed is None else embed.shape}, model expects "
+            f"{cur.shape}; skipping injection (non-production geometry)")
+        return params
+    if num_layers is None:
+        num_layers = 1 + max(
+            int(m.group(1)) for k in sd
+            if (m := re.match(r"encoder\.block\.(\d+)\.", k)))
+    te = dict(te)
+    te["text_model"] = t5_params_from_torch(sd, num_layers=num_layers)
+    out = dict(params)
+    out["text_encoder"] = te
+    return out
+
+
 def _infer_skip_layers(sd: Dict, prefix: str) -> int:
     """SkipTransformer num_layers from the highest input_blocks index."""
     idx = [-1]

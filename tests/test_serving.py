@@ -2,6 +2,7 @@
 HTTP endpoint, and weight swaps (convofusion_tpu/serving.py)."""
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -11,7 +12,12 @@ import pytest
 
 from convofusion_tpu.config.testing import tiny_config
 from convofusion_tpu.models.convofusion import Convofusion
-from convofusion_tpu.serving import GestureRequest, GestureService, serve_http
+from convofusion_tpu.serving import (
+    GestureRequest,
+    GestureService,
+    ServiceOverloaded,
+    serve_http,
+)
 
 STEPS = 3
 
@@ -79,6 +85,40 @@ def test_single_request_and_validation(service_setup):
         svc.close()
     with pytest.raises(RuntimeError):
         svc.submit(GestureRequest(text_lsn="after close"))
+
+
+def test_backpressure_rejects_when_full(service_setup):
+    """Overload behavior: a full intake queue rejects with
+    ServiceOverloaded (mapped to HTTP 503) instead of growing latency
+    without bound; accepted work still completes."""
+    model, params = service_setup
+    svc = GestureService(model, params, batch_size=2, max_wait_ms=5,
+                         num_inference_steps=STEPS, max_queue=3)
+    gate = threading.Event()
+    orig_build = svc._build
+    svc._build = lambda reqs: (gate.wait(600), orig_build(reqs))[1]
+    try:
+        # first batch gets pulled into the (gated) builder...
+        futs = [svc.submit(_req(i)) for i in range(2)]
+        deadline = time.time() + 30
+        while svc._q.qsize() and time.time() < deadline:
+            time.sleep(0.01)
+        assert svc._q.qsize() == 0, "builder never collected the batch"
+        # ...then the intake queue fills to max_queue and rejects
+        futs += [svc.submit(_req(i)) for i in range(2, 5)]
+        with pytest.raises(ServiceOverloaded, match="queue full"):
+            svc.submit(_req(5))
+        st = svc.stats()
+        assert st["rejected"] == 1
+        assert st["queue_depth"] == 3
+        gate.set()
+        for f in futs:
+            m = f.result(timeout=600)
+            assert m.shape == (128, 189) and np.isfinite(m).all()
+        assert svc.stats()["requests"] == 5
+    finally:
+        gate.set()
+        svc.close()
 
 
 def test_weg_service_routes_focus(service_setup):

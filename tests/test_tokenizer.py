@@ -6,6 +6,7 @@ Covers the native spiece.model loader + T5 fast-pipeline conversion
 (bos/eos wrapping, trailing </s>, subword word-maps — reference
 t5.py:28-30,93,104-109), and the make_tokenizer resolution order.
 """
+import os
 import random
 
 import numpy as np
@@ -157,20 +158,74 @@ def test_t5_base_parity_if_cached(texts):
     special tokens), :93 (wrapping), :104-109 (word maps).
     """
     from convofusion_tpu.models.tokenizer import HFTokenizer, find_spiece
+    from convofusion_tpu.utils.assets import assets_root
 
-    try:
-        hf = HFTokenizer("t5-base", max_length=200)
-    except Exception:
-        pytest.skip("no locally cached t5-base tokenizer")
+    hf = None
+    # documented drop path first (utils/assets.py), then the HF cache
+    for src in (os.path.join(assets_root(), "t5-base"), "t5-base"):
+        try:
+            hf = HFTokenizer(src, max_length=200)
+            break
+        except Exception:
+            continue
+    if hf is None:
+        pytest.skip("no t5-base tokenizer asset (drop per "
+                    "utils/assets.py to activate)")
     spiece = find_spiece("t5-base")
     if spiece is None:
-        pytest.skip("no local t5-base spiece.model")
+        pytest.skip("no local t5-base spiece.model (drop per "
+                    "utils/assets.py to activate)")
     ours = SentencePieceTokenizer(spiece, max_length=200)
     a = hf(texts, pad_to=48)
     b = ours(texts, pad_to=48)
     np.testing.assert_array_equal(a.input_ids, b.input_ids)
     np.testing.assert_array_equal(a.attention_mask, b.attention_mask)
     assert a.word_ids == b.word_ids
+
+
+@pytest.mark.slow
+def test_t5_base_weight_parity_if_assets():
+    """Native JAX T5 trunk vs transformers over REAL t5-base weights
+    (skips without the asset drop; see utils/assets.py for the layout).
+
+    Closes the only remaining unverified link of the text-conditioning
+    chain: the toy/production-geometry goldens (test_models_parity.py,
+    test_production_parity.py) already pin the math on random weights;
+    this pins it on the released ones."""
+    from convofusion_tpu.utils.assets import assets_root
+
+    t5_dir = os.path.join(assets_root(), "t5-base")
+    if not (os.path.isfile(os.path.join(t5_dir, "pytorch_model.bin"))
+            or os.path.isfile(os.path.join(t5_dir, "model.safetensors"))):
+        pytest.skip("no t5-base weight asset (drop per utils/assets.py "
+                    "to activate)")
+    import jax.numpy as jnp
+    import torch
+    from transformers import T5EncoderModel
+
+    from convofusion_tpu.models.t5 import (
+        T5EncoderStack,
+        t5_params_from_torch,
+    )
+
+    ref = T5EncoderModel.from_pretrained(t5_dir).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    stack = T5EncoderStack(vocab_size=32128, d_model=768, d_kv=64,
+                           num_heads=12, d_ff=3072, num_layers=12,
+                           dtype=jnp.float32)
+    params = {"params": t5_params_from_torch(sd, num_layers=12)}
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, 32000, size=(2, 48)).astype(np.int32)
+    mask = np.ones_like(ids)
+    mask[1, 40:] = 0
+    with torch.no_grad():
+        want = ref(input_ids=torch.from_numpy(ids).long(),
+                   attention_mask=torch.from_numpy(mask).long()
+                   ).last_hidden_state.numpy()
+    got = np.asarray(stack.apply(params, jnp.asarray(ids),
+                                 jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
 
 
 def test_model_uses_hash_tokenizer_for_tiny_vocab():
