@@ -8,6 +8,7 @@ import pytest
 torch = pytest.importorskip("torch")
 
 
+@pytest.mark.slow
 def test_convert_vae_checkpoint_roundtrip(reference_path, tmp_path):
     from convofusion.models.architectures.vae import (
         ConvoFusionVae as TorchVae,

@@ -58,6 +58,7 @@ def test_t5_trunk_gradient_is_zero():
     assert _tree_sum_abs(grads["text_encoder"]["projection_1"]) > 0.0
 
 
+@pytest.mark.slow
 def test_diffusion_step_leaves_frozen_subtrees_untouched():
     _, _, before, after, loss = _train_one_step("diffusion")
     assert np.isfinite(loss)

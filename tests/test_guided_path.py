@@ -121,6 +121,7 @@ def test_single_row_uncond_matches_tiled_uncond():
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_precomputed_kv_matches_direct_paths():
     """Per-step memory K/V sharing: (a) forward_kv with the text-only
     variant selection == __call__ over the assembled branch-1 condition;
@@ -184,6 +185,7 @@ def test_precomputed_kv_matches_direct_paths():
             rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_text_only_shared_rows_matches_broadcast():
     """Denoiser.text_only with single-row uncond streams must equal the
     standard __call__ over the broadcast-to-B condition."""

@@ -121,6 +121,7 @@ def test_backpressure_rejects_when_full(service_setup):
         svc.close()
 
 
+@pytest.mark.slow
 def test_weg_service_routes_focus(service_setup):
     model, params = service_setup
     svc = GestureService(model, params, batch_size=2, max_wait_ms=200,

@@ -64,6 +64,7 @@ def test_precomputed_trunk_loss_and_grads_match_ids_path():
         g_pre["text_encoder"]["text_model"])) == 0.0
 
 
+@pytest.mark.slow
 def test_trainer_step_accepts_production_trunk_layout():
     """The cli/train.py steady-state layout: no id arrays at all, the
     uncond trunk/mask as single broadcastable (1, ...) rows."""
@@ -84,6 +85,7 @@ def test_trainer_step_accepts_production_trunk_layout():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_one_row_uncond_matches_full_rows():
     """The (1, T, D) uncond row must give the same loss as B tiled rows
     (it broadcasts inside the modality-dropout where)."""
