@@ -141,10 +141,18 @@ def main(argv=None):
         tcache = TextEmbeddingCache()
 
         def _encode_missing(texts):
-            tb = model.tokenize(texts)
+            # pad the miss batch to a power-of-two bucket: as the cache
+            # warms, misses arrive in every size from 1..B, and each
+            # distinct batch shape is a fresh trunk compile (observed
+            # 20-50 s per shape on a 1-CPU host); log2 buckets bound it
+            n = len(texts)
+            m = 1 << max(0, (n - 1).bit_length())
+            padded = list(texts) + [texts[-1]] * (m - n)
+            tb = model.tokenize(padded)
             trunk = trunk_jit(text_params, jnp.asarray(tb.input_ids),
                               jnp.asarray(tb.attention_mask))
-            return np.asarray(trunk), np.asarray(tb.attention_mask)
+            return (np.asarray(trunk)[:n],
+                    np.asarray(tb.attention_mask)[:n])
 
         logger.info("frozen-T5 trunk cache enabled (TPU.CACHE_TEXT_TRUNK)")
 

@@ -21,12 +21,29 @@ _WORDS = ("hello there friend this is a story about brave knights and "
 
 
 def _skeleton_motion(rng, frames: int, njoints: int = 67,
-                     scale_mm: float = 100.0):
-    """Plausible joint trajectories in mm: static offsets + smooth noise."""
+                     scale_mm: float = 100.0, mode: str = "walk",
+                     fps: float = 120.0):
+    """Plausible joint trajectories in mm: static offsets + motion.
+
+    mode='walk': random-walk drift — good for exercising the pipeline,
+    but spectrally flat (incompressible), so the chunked VAE *cannot*
+    reconstruct it well by design.  mode='smooth': band-limited
+    sum-of-sinusoids (0.2-2 Hz), matching the premise of real gesture
+    motion — used by the learning-loop overfit (train/overfit.py), where
+    "recon near zero" must be achievable by a model that works.
+    """
     base = rng.uniform(-400, 400, size=(1, njoints, 3))
     base[0, :, 1] = rng.uniform(800, 1600, size=njoints)  # above floor
-    drift = np.cumsum(
-        rng.normal(scale=scale_mm / 50, size=(frames, njoints, 3)), axis=0)
+    if mode == "smooth":
+        t = np.arange(frames)[:, None, None, None] / fps
+        freqs = rng.uniform(0.2, 2.0, size=(1, njoints, 3, 4))
+        phase = rng.uniform(0, 2 * np.pi, size=(1, njoints, 3, 4))
+        amp = rng.uniform(5, 60, size=(1, njoints, 3, 4)) / (1 + freqs)
+        drift = (amp * np.sin(2 * np.pi * freqs * t + phase)).sum(-1)
+    else:
+        drift = np.cumsum(
+            rng.normal(scale=scale_mm / 50, size=(frames, njoints, 3)),
+            axis=0)
     return (base + drift).astype(np.float32)
 
 
@@ -42,7 +59,8 @@ def _speech_audio(rng, n_samples: int, sr: int, active: bool = True):
 
 def make_beat_fixture(root: str, speakers=("2_scott", "4_lawrence"),
                       n_files: int = 1, fps: int = 120, sr: int = 16000,
-                      seconds: float = 11.0, seed: int = 0):
+                      seconds: float = 11.0, seed: int = 0,
+                      motion_mode: str = "walk"):
     """BEAT tree: <root>/<spkid>/<name>.{npy,wav,TextGrid,txt} + splits."""
     rng = np.random.default_rng(seed)
     names = []
@@ -54,7 +72,8 @@ def make_beat_fixture(root: str, speakers=("2_scott", "4_lawrence"),
             name = f"{spk_id}_{spk.split('_')[1]}_0_{i}_{i}"
             frames = int(seconds * fps)
             np.save(pjoin(d, name + ".npy"),
-                    _skeleton_motion(rng, frames))
+                    _skeleton_motion(rng, frames, mode=motion_mode,
+                                     fps=fps))
             n_samples = int(seconds * sr)
             save_wav(pjoin(d, name + ".wav"),
                      _speech_audio(rng, n_samples, sr), sr)
@@ -80,7 +99,8 @@ def make_beat_fixture(root: str, speakers=("2_scott", "4_lawrence"),
 
 
 def make_dnd_fixture(root: str, n_sets: int = 2, frames: int = 128,
-                     fps: int = 25, sr: int = 16000, seed: int = 1):
+                     fps: int = 25, sr: int = 16000, seed: int = 1,
+                     motion_mode: str = "walk"):
     """DnD utterance-set tree: <root>/<session>/<set>/motion_*.npy etc."""
     rng = np.random.default_rng(seed)
     seconds = frames / fps
@@ -92,14 +112,15 @@ def make_dnd_fixture(root: str, n_sets: int = 2, frames: int = 128,
         d = pjoin(root, set_name)
         os.makedirs(d, exist_ok=True)
         np.save(pjoin(d, "motion_spk.npy"),
-                _skeleton_motion(rng, frames))
+                _skeleton_motion(rng, frames, mode=motion_mode, fps=fps))
         save_wav(pjoin(d, "audio_spk.wav"),
                  _speech_audio(rng, n_samples, sr), sr)
         with open(pjoin(d, "text_spk.txt"), "w") as f:
             f.write(" ".join(rng.choice(_WORDS, size=8)))
         for li in range(1, 5):
             np.save(pjoin(d, f"motion_lsn{li}.npy"),
-                    _skeleton_motion(rng, frames))
+                    _skeleton_motion(rng, frames, mode=motion_mode,
+                                     fps=fps))
             active = li % 2 == 1
             save_wav(pjoin(d, f"audio_lsn{li}.wav"),
                      _speech_audio(rng, n_samples, sr, active), sr)

@@ -177,6 +177,15 @@ class Convofusion:
 
     # ------------------------------------------------------------ init params
     def init_params(self, key) -> Dict:
+        """Parameter init under ONE jit: eager flax ``init`` dispatches
+        thousands of tiny ops, each a separate XLA mini-compile (measured
+        198 s for the tiny model on a 1-CPU host; one compiled program
+        takes seconds)."""
+        if not hasattr(self, "_init_params_jit"):
+            self._init_params_jit = jax.jit(self._init_params_impl)
+        return self._init_params_jit(key)
+
+    def _init_params_impl(self, key) -> Dict:
         keys = jax.random.split(key, 5)
         b, t = 2, self.text_pad_len
         params = {}

@@ -1,0 +1,332 @@
+"""Learning-loop verification: overfit both stages on the on-disk fixture.
+
+The forward-math parity suite proves our operators match the reference;
+this module proves the *system learns* — the reference's reason to exist
+is ``trainer.fit`` to a model whose samples score well under
+``quant_eval`` (reference train.py:174-179, quant_eval/dyadic_eval.py:359-454).
+
+Protocol (all through the real entry points, no shortcuts):
+  1. stage-1 ``cli/train`` on the synthetic BEAT+DnD fixture until the
+     VAE reconstructs its training clips (near-zero relative RMSE);
+  2. stage-2 ``cli/train`` with the stage-1 VAE transplant until the
+     denoiser's conditioned DDIM-50 samples reproduce the paired
+     training motions (checked by per-sample RMSE + nearest-neighbour
+     retrieval against the whole train set);
+  3. ``cli/test`` dump with production guidance -> ``eval/run`` metrics
+     on the TRAINED weights, against the same dump from the untrained
+     initialization (the learning signal in metric space).
+
+Run:  python -m convofusion_tpu.train.overfit --workdir /tmp/overfit \
+          [--scale prod|small] [--platform cpu]
+Used by tests/test_learning.py (slow tier) with the ``small`` preset.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import yaml
+
+
+# ----------------------------------------------------------------- fixtures
+def build_fixture(root: str):
+    """BEAT (2 speakers x 11 s -> 4 chunked clips) + DnD (2 utterance
+    sets -> 4 active-listener samples, 10 VAE person-clips)."""
+    from convofusion_tpu.data.fixture import (
+        make_beat_fixture,
+        make_dnd_fixture,
+    )
+
+    beat = os.path.join(root, "beat")
+    dnd = os.path.join(root, "dnd")
+    os.makedirs(beat, exist_ok=True)
+    os.makedirs(dnd, exist_ok=True)
+    # smooth (band-limited) motion: real gestures are compressible —
+    # that is the chunked VAE's premise; random-walk fixture motion is
+    # spectrally flat and *cannot* be reconstructed through the
+    # 2-token/chunk bottleneck by any correct model
+    make_beat_fixture(beat, speakers=("2_scott", "4_lawrence"),
+                      seconds=11.0, motion_mode="smooth")
+    make_dnd_fixture(dnd, n_sets=2, motion_mode="smooth")
+    return beat, dnd
+
+
+# ------------------------------------------------------------------ configs
+SCALES = {
+    # tiny geometry for the CPU slow test: production topology, small dims
+    "small": {
+        "latent_dim": [1, 32],
+        "motion_vae": {"params": {
+            "num_layers": 3, "ff_size": 64, "dropout": 0.0}},
+        "denoiser": {"params": {
+            "num_layers": 3, "ff_size": 64, "dropout": 0.0,
+            "text_encoded_dim": 64, "audio_encoded_dim": 64}},
+        "text_encoder": {"params": {
+            "latent_dim": 64, "d_model": 32, "d_ff": 64,
+            "num_layers": 2, "num_heads": 4, "d_kv": 8,
+            "vocab_size": 1000}},
+        "audio_encoder": {"params": {"latent_dim": 64}},
+    },
+    # the shipped production geometry untouched (9x512 denoiser,
+    # 5L/128d VAE, t5-base-geometry text stack) — chip-scale
+    "prod": {},
+}
+
+
+def write_cfg(root, beat, dnd, name, *, stage, epochs, batch, lr,
+              scale="small", extra=None, infer_steps=50, seed=1234):
+    """Experiment + assets yamls over the packaged defaults (the assets
+    file merges LAST, reference config.py:82, so data roots and the
+    scheduler override ride there)."""
+    from convofusion_tpu.config import DEFAULTS_DIR
+
+    cfg = {
+        "NAME": name,
+        "DEBUG": False,
+        "SEED_VALUE": seed,
+        "FOLDER": os.path.join(root, "experiments"),
+        "TRAIN": {
+            "STAGE": stage,
+            "BATCH_SIZE": batch,
+            "END_EPOCH": epochs,
+            "OPTIM": {"TYPE": "AdamW", "LR": lr},
+        },
+        "TEST": {"BATCH_SIZE": batch, "SAVE_PREDICTIONS": True,
+                 "FOLDER": os.path.join(root, "results")},
+        "LOGGER": {
+            # checkpoint only at the end; no mid-run validation stalls
+            "SACE_CHECKPOINT_EPOCH": max(epochs, 1),
+            "VAL_EVERY_STEPS": 0,
+        },
+        "model": dict(SCALES[scale]),
+    }
+    if scale == "small":
+        cfg["TPU"] = {"TEXT_PAD_LEN": 16}
+    if extra:
+        def merge(a, b):
+            for k, v in b.items():
+                if isinstance(v, dict) and isinstance(a.get(k), dict):
+                    merge(a[k], v)
+                else:
+                    a[k] = v
+        merge(cfg, extra)
+    path = os.path.join(root, f"cfg_{name}.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    assets_path = os.path.join(root, f"assets_{name}.yaml")
+    with open(os.path.join(DEFAULTS_DIR, "assets.yaml")) as f:
+        assets = yaml.safe_load(f)
+    assets["DATASET"]["BEATDND"]["ROOT"] = [beat, dnd]
+    assets["DATASET"]["BEATDND"]["SPLIT_ROOT"] = [beat, dnd]
+    assets["FOLDER"] = os.path.join(root, "experiments")
+    assets["TEST"] = {"FOLDER": os.path.join(root, "results")}
+    # module yamls merge AFTER the experiment yaml (reference
+    # config.py:80-82): scheduler/guidance overrides ride the assets file
+    assets["model"]["scheduler"] = {
+        "variant": "ddim", "num_inference_timesteps": infer_steps}
+    if extra and "model" in extra:
+        assets.setdefault("model", {}).update(extra["model"])
+    with open(assets_path, "w") as f:
+        yaml.safe_dump(assets, f)
+    return path, assets_path
+
+
+def _ckpt_path(root, name, epochs):
+    return os.path.join(root, "experiments", "convofusion", name,
+                        "checkpoints", f"epoch={epochs - 1}")
+
+
+def _final_metrics(root, name):
+    """Last line of the experiment's metrics JSONL."""
+    last = {}
+    for p in glob.glob(os.path.join(
+            root, "experiments", "convofusion", name, "*.jsonl")):
+        with open(p) as f:
+            for line in f:
+                last = json.loads(line)
+    return last
+
+
+# -------------------------------------------------------------- measurement
+def vae_recon_error(cfg_path, assets_path, ckpt):
+    """Deterministic encode->decode relative RMSE over the train clips."""
+    import jax
+    import jax.numpy as jnp
+
+    from convofusion_tpu.config import parse_args
+    from convofusion_tpu.data.datamodule import get_datasets
+    from convofusion_tpu.models.convofusion import Convofusion
+    from convofusion_tpu.train.checkpoint import load_checkpoint
+
+    cfg = parse_args("test", ["--cfg", cfg_path,
+                              "--cfg_assets", assets_path])
+    datamodule = get_datasets(cfg)[0]
+    model = Convofusion(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params, _ = load_checkpoint(ckpt, params)
+
+    @jax.jit
+    def recon(p, motion):
+        latent, _, _ = model.vae_encode(p, motion)
+        return model.vae_decode(p, latent, motion.shape[1])
+
+    sq_err, sq_sig, n = 0.0, 0.0, 0
+    for batch in datamodule.train_dataloader(seed=0):
+        motion = jnp.asarray(batch["motion"])
+        r = np.asarray(recon(params, motion), np.float64)
+        m = np.asarray(motion, np.float64)
+        sq_err += ((r - m) ** 2).sum()
+        sq_sig += ((m - m.mean()) ** 2).sum()
+        n += m.size
+    return float(np.sqrt(sq_err / n) / np.sqrt(sq_sig / n))
+
+
+def reproduction_metrics(dump_dir):
+    """Conditioned samples vs paired training motions.
+
+    * rel_rmse: mean per-sample RMSE(pred, own gt) / global gt std
+    * retrieval_top1: fraction of samples whose nearest train motion
+      (L2 over the whole clip) is their own conditioning pair
+    * margin: mean(RMSE vs other gts) / mean(RMSE vs own gt) — how much
+      closer the sample is to its pair than to the rest of the set
+    """
+    dirs = sorted(d for d, _, files in os.walk(dump_dir)
+                  if "pred.npy" in files)
+    preds = np.stack([np.load(os.path.join(d, "pred.npy")) for d in dirs])
+    gts = np.stack([np.load(os.path.join(d, "gt.npy")) for d in dirs])
+    n = len(dirs)
+    flat_p = preds.reshape(n, -1).astype(np.float64)
+    flat_g = gts.reshape(n, -1).astype(np.float64)
+    # pairwise RMSE matrix (pred i vs gt j)
+    d2 = ((flat_p[:, None] - flat_g[None]) ** 2).mean(-1)
+    rmse = np.sqrt(d2)
+    own = np.diag(rmse)
+    other = (rmse.sum(1) - own) / (n - 1)
+    std = flat_g.std()
+    return {
+        "n_samples": n,
+        "rel_rmse": float(own.mean() / std),
+        "retrieval_top1": float((rmse.argmin(1) == np.arange(n)).mean()),
+        "margin": float(other.mean() / own.mean()),
+    }
+
+
+# -------------------------------------------------------------------- driver
+def run(workdir, *, scale="small", vae_epochs=300, diff_epochs=1500,
+        vae_batch=7, diff_batch=8, vae_lr=3e-4, diff_lr=2e-4,
+        infer_steps=50, eval_untrained=True, log=print):
+    from convofusion_tpu.cli.test import main as test_main
+    from convofusion_tpu.cli.train import main as train_main
+    from convofusion_tpu.eval.run import evaluate_results
+
+    os.makedirs(workdir, exist_ok=True)
+    beat, dnd = build_fixture(workdir)
+    out = {"scale": scale, "vae_epochs": vae_epochs,
+           "diff_epochs": diff_epochs}
+
+    # ---- stage 1: VAE ----
+    cfg1, assets1 = write_cfg(
+        workdir, beat, dnd, "overfit_vae", stage="vae", epochs=vae_epochs,
+        batch=vae_batch, lr=vae_lr, scale=scale, infer_steps=infer_steps)
+    log(f"stage 1: training VAE for {vae_epochs} epochs")
+    train_main(["--cfg", cfg1, "--cfg_assets", assets1])
+    vae_ckpt = _ckpt_path(workdir, "overfit_vae", vae_epochs)
+    assert os.path.isdir(vae_ckpt), vae_ckpt
+    m1 = _final_metrics(workdir, "overfit_vae")
+    out["vae_final_loss"] = m1.get("total/train")
+    out["vae_recon_rel_rmse"] = vae_recon_error(cfg1, assets1, vae_ckpt)
+    log(f"stage 1 done: recon rel RMSE {out['vae_recon_rel_rmse']:.4f}")
+
+    # ---- stage 2: diffusion over the frozen VAE ----
+    cfg2, assets2 = write_cfg(
+        workdir, beat, dnd, "overfit_diff", stage="diffusion",
+        epochs=diff_epochs, batch=diff_batch, lr=diff_lr, scale=scale,
+        infer_steps=infer_steps,
+        extra={"TRAIN": {"PRETRAINED_VAE": vae_ckpt}})
+    log(f"stage 2: training denoiser for {diff_epochs} epochs")
+    train_main(["--cfg", cfg2, "--cfg_assets", assets2])
+    diff_ckpt = _ckpt_path(workdir, "overfit_diff", diff_epochs)
+    assert os.path.isdir(diff_ckpt), diff_ckpt
+    m2 = _final_metrics(workdir, "overfit_diff")
+    out["diff_final_loss"] = m2.get("total/train")
+    out["diff_ckpt"] = diff_ckpt
+    out["diff_cfg"] = cfg2
+    out["diff_assets"] = assets2
+
+    # ---- conditioned reproduction (guidance off: the conditional
+    # distribution itself, no CFG exaggeration) ----
+    cfgr, assetsr = write_cfg(
+        workdir, beat, dnd, "overfit_repro", stage="diffusion",
+        epochs=1, batch=diff_batch, lr=diff_lr, scale=scale,
+        infer_steps=infer_steps,
+        extra={"TEST": {"CHECKPOINTS": diff_ckpt},
+               "model": {"guidance_scale": 1.0}})
+    repro_dir = test_main(["--cfg", cfgr, "--cfg_assets", assetsr])
+    out["repro"] = reproduction_metrics(repro_dir)
+    log(f"reproduction: {out['repro']}")
+
+    # ---- production-mode dump (7-way guidance) -> offline eval ----
+    cfgg, assetsg = write_cfg(
+        workdir, beat, dnd, "overfit_gen", stage="diffusion",
+        epochs=1, batch=diff_batch, lr=diff_lr, scale=scale,
+        infer_steps=infer_steps,
+        extra={"TEST": {"CHECKPOINTS": diff_ckpt}})
+    gen_dir = test_main(["--cfg", cfgg, "--cfg_assets", assetsg])
+    out["eval_trained"] = _run_eval(gen_dir, evaluate_results)
+    log(f"eval (trained): {out['eval_trained']}")
+
+    if eval_untrained:
+        # same pipeline from the untrained init: the metric-space gap is
+        # the learning signal
+        cfgu, assetsu = write_cfg(
+            workdir, beat, dnd, "overfit_untrained", stage="diffusion",
+            epochs=1, batch=diff_batch, lr=diff_lr, scale=scale,
+            infer_steps=infer_steps)
+        unt_dir = test_main(["--cfg", cfgu, "--cfg_assets", assetsu])
+        out["eval_untrained"] = _run_eval(unt_dir, evaluate_results)
+        out["repro_untrained"] = reproduction_metrics(unt_dir)
+        log(f"eval (untrained): {out['eval_untrained']}")
+    return out
+
+
+def _run_eval(result_dir, evaluate_results):
+    import warnings
+
+    with warnings.catch_warnings():
+        # random-init FID features warn by design (no released ckpt here)
+        warnings.simplefilter("ignore")
+        metrics = evaluate_results(result_dir, "dyadic", fidnet_path=None)
+    return {k: (round(float(v), 5)
+                if isinstance(v, (int, float, np.floating, np.integer))
+                else v)
+            for k, v in metrics.items()}
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--scale", default="small", choices=sorted(SCALES))
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--vae-epochs", type=int, default=300)
+    ap.add_argument("--diff-epochs", type=int, default=1500)
+    ap.add_argument("--vae-lr", type=float, default=3e-4)
+    ap.add_argument("--diff-lr", type=float, default=2e-4)
+    ap.add_argument("--infer-steps", type=int, default=50)
+    args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    out = run(args.workdir, scale=args.scale, vae_epochs=args.vae_epochs,
+              diff_epochs=args.diff_epochs, vae_lr=args.vae_lr,
+              diff_lr=args.diff_lr, infer_steps=args.infer_steps)
+    print(json.dumps(out, indent=2))
+    return out
+
+
+if __name__ == "__main__":
+    main()
