@@ -98,6 +98,14 @@ def main():
                          "t5-geometry spiece (exercises the production "
                          "SentencePiece pipeline; ids not t5-base); hash "
                          "= the WordHashTokenizer fallback")
+    ap.add_argument("--chain", type=int, default=1,
+                    help="sample/train modes: back-to-back dispatches per "
+                         "timing fetch. The production loops are async "
+                         "(cli/train fetches metrics at epoch end; serving "
+                         "pipelines fetch a batch behind), so chained "
+                         "timing amortizes the ~29 ms axon-tunnel fetch "
+                         "round-trip that per-step fetching pays; 1 = the "
+                         "conservative per-step-fetch protocol")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one timed "
                          "iteration into DIR (NB: hangs on tunneled "
@@ -235,6 +243,7 @@ def main():
                     data_sharding=data_sharding, weg_type=r_weg)
             times.append(time.time() - t0)
         best = min(times)
+        spread_pct = (max(times) - best) / best * 100
         windows_per_sec = args.batch * n_windows / best / n_chips_r
         result = {
             "metric": f"rollout_windows_per_sec_{args.steps}step"
@@ -249,7 +258,7 @@ def main():
               f"dtype={args.dtype} compile={compile_s:.1f}s "
               f"best={best * 1e3:.1f}ms "
               f"({best / n_windows * 1e3:.1f}ms/window) "
-              f"mesh={n_chips_r} "
+              f"spread={spread_pct:.1f}% mesh={n_chips_r} "
               f"platform={jax.devices()[0].platform}", file=sys.stderr)
         return
 
@@ -406,7 +415,15 @@ def main():
             jax.block_until_ready(mu)
             del batch["motion_lsn"]
 
-        opt = optax.adamw(7e-5)
+        # the PRODUCTION optimizer (cli/train parity): frozen subtrees —
+        # the T5 trunk, and the VAE in the diffusion stage — are masked
+        # out of AdamW entirely (train/trainer.py::make_optimizer), which
+        # also removes their moment buffers from the step's HBM traffic
+        from convofusion_tpu.train.trainer import make_optimizer
+
+        cfg.TRAIN.OPTIM.LR = 7e-5
+        opt = make_optimizer(cfg, stage=("vae" if vae_stage
+                                         else "diffusion"))
         opt_state = opt.init(params)
 
         # donate params/opt-state like train/trainer.py's step — without
@@ -433,12 +450,16 @@ def main():
         float(loss)
         compile_s = time.time() - t0
         times = []
+        keys = [jax.random.PRNGKey(2 + i)
+                for i in range(max(args.iters, 10) * args.chain)]
+        ki = iter(keys)
         for i in range(max(args.iters, 10)):
             t0 = time.time()
-            params, opt_state, loss = train_step(
-                params, opt_state, batch, jax.random.PRNGKey(2 + i))
+            for _ in range(args.chain):
+                params, opt_state, loss = train_step(
+                    params, opt_state, batch, next(ki))
             float(loss)
-            times.append(time.time() - t0)
+            times.append((time.time() - t0) / args.chain)
         best = min(times)
         clips_per_sec = args.batch / best / n_chips
         result = {
@@ -452,8 +473,9 @@ def main():
         print(f"# TRAIN stage={args.stage} "
               f"batch={args.batch} dtype={args.dtype} "
               f"cached_text={args.cached_text} "
-              f"cached_vae={args.cached_vae} "
+              f"cached_vae={args.cached_vae} chain={args.chain} "
               f"compile={compile_s:.1f}s best={best * 1e3:.1f}ms "
+              f"spread={(max(times) - best) / best * 100:.1f}% "
               f"loss={float(loss):.4f}", file=sys.stderr)
         if args.mfu and n_chips > 1:
             print("# --mfu is single-chip-only (see sample mode note).",
@@ -491,14 +513,20 @@ def main():
     assert np.isfinite(np.asarray(motion[:2])).all(), "non-finite output"
 
     times = []
+    keys = [jax.random.PRNGKey(2 + i)
+            for i in range(args.iters * args.chain)]
+    ki = iter(keys)
     for i in range(args.iters):
         t0 = time.time()
-        motion = sample(params, batch, jax.random.PRNGKey(2 + i))
+        for _ in range(args.chain):
+            motion = sample(params, batch, next(ki))
         # forced one-row host fetch: a robust barrier over the axon
         # tunnel, where block_until_ready can return early (see the
-        # train-mode note); costs ~0.1 ms of transfer
+        # train-mode note); costs ~0.1 ms of transfer.  The device
+        # executes queued dispatches in order, so fetching the LAST
+        # chained output waits for all of them.
         np.asarray(motion[:1])
-        times.append(time.time() - t0)
+        times.append((time.time() - t0) / args.chain)
 
     if args.trace:
         with jax.profiler.trace(args.trace):
@@ -507,6 +535,9 @@ def main():
         print(f"# profiler trace written to {args.trace}", file=sys.stderr)
 
     best = min(times)
+    # run-to-run spread: the tunneled chip varies up to ~8% on WEG-class
+    # runs (docs/BENCHMARKS.md) — publish the bar with every number
+    spread_pct = (max(times) - best) / best * 100
     clips_per_sec = args.batch / best / n_chips
     n_dev = jax.local_device_count()
     weg_tag = "_weg" if args.weg else ""
@@ -521,7 +552,8 @@ def main():
     print(
         f"# batch={args.batch} steps={args.steps} dtype={args.dtype} "
         f"compile={compile_s:.1f}s best={best * 1e3:.1f}ms "
-        f"mean={sum(times) / len(times) * 1e3:.1f}ms devices={n_dev} "
+        f"mean={sum(times) / len(times) * 1e3:.1f}ms "
+        f"spread={spread_pct:.1f}% devices={n_dev} "
         f"mesh={n_chips} platform={jax.devices()[0].platform}",
         file=sys.stderr)
 

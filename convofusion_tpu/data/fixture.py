@@ -20,6 +20,29 @@ _WORDS = ("hello there friend this is a story about brave knights and "
           "dragons we roll dice and laugh together all night").split()
 
 
+# shared low-rank generator state for mode='lowrank' (fixed seed on
+# purpose: the rest pose, mixing basis and temporal modes are common to
+# every clip, so per-clip information is ONLY the (R, K) mode
+# coefficients — see _skeleton_motion)
+# R*2K must stay <= a single chunk's token capacity in the overfit
+# preset (2 tokens x 32 dims = 64): a BEAT window starting at offset t0
+# sees sin(2pi f (t+t0) + phi) = a sin/cos pair per mode, so per-window
+# information is at most R*2K coefficients (here 32)
+_LOWRANK_R = 4   # mixing rank
+_LOWRANK_K = 4   # temporal modes
+
+
+def _lowrank_globals(njoints: int):
+    g = np.random.default_rng(20260819)
+    base = g.uniform(-400, 400, size=(1, njoints, 3))
+    base[0, :, 1] = g.uniform(800, 1600, size=njoints)  # above floor
+    mix = g.normal(size=(njoints * 3, _LOWRANK_R))
+    mix /= np.linalg.norm(mix, axis=0, keepdims=True)
+    freqs = g.uniform(0.3, 1.2, size=_LOWRANK_K)        # Hz
+    phase = g.uniform(0, 2 * np.pi, size=_LOWRANK_K)
+    return base, mix, freqs, phase
+
+
 def _skeleton_motion(rng, frames: int, njoints: int = 67,
                      scale_mm: float = 100.0, mode: str = "walk",
                      fps: float = 120.0):
@@ -28,10 +51,32 @@ def _skeleton_motion(rng, frames: int, njoints: int = 67,
     mode='walk': random-walk drift — good for exercising the pipeline,
     but spectrally flat (incompressible), so the chunked VAE *cannot*
     reconstruct it well by design.  mode='smooth': band-limited
-    sum-of-sinusoids (0.2-2 Hz), matching the premise of real gesture
-    motion — used by the learning-loop overfit (train/overfit.py), where
-    "recon near zero" must be achievable by a model that works.
+    sum-of-sinusoids (0.2-2 Hz) — gesture-like, but with independent
+    frequencies per joint-axis it still carries O(njoints*3*modes) ≈ 600+
+    degrees of freedom per chunk, far above the chunked VAE's
+    2-token/chunk bottleneck, so "recon near zero" is information-
+    theoretically impossible.  mode='lowrank': every clip is
+    base + mix @ B @ S(t) where the rest pose `base`, the (201, R)
+    mixing basis `mix` and the K continuous-time sinusoid modes S are
+    FIXED across clips; only the (R, K) coefficient matrix B is drawn
+    per clip.  Per-clip information = R*K = 36 numbers — below even a
+    single chunk's token capacity in the overfit preset (2 tokens x
+    32 dims), so a correct model CAN drive recon to ~zero.  Used by the
+    learning-loop overfit (train/overfit.py).
     """
+    if mode == "lowrank":
+        base, mix, freqs, phase = _lowrank_globals(njoints)
+        t = np.arange(frames) / fps
+        modes = np.sin(2 * np.pi * freqs[:, None] * t[None]
+                       + phase[:, None])            # (K, frames)
+        coef = rng.normal(size=(_LOWRANK_R, _LOWRANK_K))
+        # amplitude chosen so the per-clip motion variance is comparable
+        # to the static cross-joint pose spread after canonicalization —
+        # otherwise a model could score near-zero relative recon RMSE by
+        # memorizing the (shared) rest pose and ignoring the motion
+        drift = (mix @ coef @ modes) * 800.0         # ~100 mm rms
+        drift = drift.T.reshape(frames, njoints, 3)
+        return (base + drift).astype(np.float32)
     base = rng.uniform(-400, 400, size=(1, njoints, 3))
     base[0, :, 1] = rng.uniform(800, 1600, size=njoints)  # above floor
     if mode == "smooth":

@@ -43,13 +43,17 @@ def build_fixture(root: str):
     dnd = os.path.join(root, "dnd")
     os.makedirs(beat, exist_ok=True)
     os.makedirs(dnd, exist_ok=True)
-    # smooth (band-limited) motion: real gestures are compressible —
-    # that is the chunked VAE's premise; random-walk fixture motion is
-    # spectrally flat and *cannot* be reconstructed through the
-    # 2-token/chunk bottleneck by any correct model
+    # lowrank motion: every clip is a 16-coefficient combination of
+    # shared smooth temporal modes over a shared mixing basis, so the
+    # per-window information (<=32 numbers) fits inside a single chunk's
+    # token capacity — "recon near zero" is achievable by construction,
+    # which is what makes failing the thresholds a real bug signal.
+    # (random-walk motion is spectrally flat/incompressible, and even
+    # per-joint-independent sinusoids carry ~600 dof per chunk — both
+    # impossible through the 2-token/chunk bottleneck; see data/fixture.py)
     make_beat_fixture(beat, speakers=("2_scott", "4_lawrence"),
-                      seconds=11.0, motion_mode="smooth")
-    make_dnd_fixture(dnd, n_sets=2, motion_mode="smooth")
+                      seconds=11.0, motion_mode="lowrank")
+    make_dnd_fixture(dnd, n_sets=2, motion_mode="lowrank")
     return beat, dnd
 
 
@@ -172,15 +176,20 @@ def vae_recon_error(cfg_path, assets_path, ckpt):
         latent, _, _ = model.vae_encode(p, motion)
         return model.vae_decode(p, latent, motion.shape[1])
 
-    sq_err, sq_sig, n = 0.0, 0.0, 0
+    recs, gts = [], []
     for batch in datamodule.train_dataloader(seed=0):
         motion = jnp.asarray(batch["motion"])
-        r = np.asarray(recon(params, motion), np.float64)
-        m = np.asarray(motion, np.float64)
-        sq_err += ((r - m) ** 2).sum()
-        sq_sig += ((m - m.mean()) ** 2).sum()
-        n += m.size
-    return float(np.sqrt(sq_err / n) / np.sqrt(sq_sig / n))
+        recs.append(np.asarray(recon(params, motion), np.float64))
+        gts.append(np.asarray(motion, np.float64))
+    r = np.concatenate(recs)
+    m = np.concatenate(gts)
+    # normalize by the *per-feature-centered* std: the static rest pose
+    # (shared across clips) is removed from the denominator, so the
+    # score measures reconstruction of the content that varies — a model
+    # memorizing the average pose cannot score well here
+    sig = m - m.reshape(-1, m.shape[-1]).mean(0)
+    return float(np.sqrt(((r - m) ** 2).mean())
+                 / np.sqrt((sig ** 2).mean()))
 
 
 def reproduction_metrics(dump_dir):
@@ -214,8 +223,8 @@ def reproduction_metrics(dump_dir):
 
 
 # -------------------------------------------------------------------- driver
-def run(workdir, *, scale="small", vae_epochs=300, diff_epochs=1500,
-        vae_batch=7, diff_batch=8, vae_lr=3e-4, diff_lr=2e-4,
+def run(workdir, *, scale="small", vae_epochs=400, diff_epochs=1500,
+        vae_batch=7, diff_batch=8, vae_lr=1e-3, diff_lr=3e-4,
         infer_steps=50, eval_untrained=True, log=print):
     from convofusion_tpu.cli.test import main as test_main
     from convofusion_tpu.cli.train import main as train_main
@@ -311,10 +320,10 @@ def main(argv=None):
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--scale", default="small", choices=sorted(SCALES))
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--vae-epochs", type=int, default=300)
+    ap.add_argument("--vae-epochs", type=int, default=400)
     ap.add_argument("--diff-epochs", type=int, default=1500)
-    ap.add_argument("--vae-lr", type=float, default=3e-4)
-    ap.add_argument("--diff-lr", type=float, default=2e-4)
+    ap.add_argument("--vae-lr", type=float, default=1e-3)
+    ap.add_argument("--diff-lr", type=float, default=3e-4)
     ap.add_argument("--infer-steps", type=int, default=50)
     args = ap.parse_args(argv)
     if args.platform:

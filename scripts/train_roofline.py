@@ -105,14 +105,20 @@ def main():
     del cached["motion_lsn"]
     jax.block_until_ready(cached["vae_mu"])
 
-    opt = optax.adamw(7e-5)
+    # the PRODUCTION optimizer (cli/train parity): frozen subtrees (T5
+    # trunk, stage-2 VAE) masked out of AdamW — no moments, no decay, no
+    # HBM traffic for ~80% of the param count (train/trainer.py)
+    from convofusion_tpu.train.trainer import make_optimizer
+
+    cfg.TRAIN.OPTIM.LR = 7e-5
+    opt = make_optimizer(cfg, stage="diffusion")
     opt_state = opt.init(params)
     loss_fn = model.train_diffusion_loss
     key = jax.random.PRNGKey(1)
 
     results = {}
 
-    def timed(name, fn, *fn_args, donate=()):
+    def timed(name, fn, *fn_args, donate=(), chain=1):
         jitted = jax.jit(fn, donate_argnums=donate)
         # cost analysis BEFORE execution (donation invalidates buffers)
         flops = bytes_ = None
@@ -141,15 +147,22 @@ def main():
         times = []
         for i in range(args.iters):
             t0 = time.time()
-            out = jitted(*args_now)
+            # `chain` back-to-back dispatches per fetch barrier: the
+            # forced host fetch rides the axon tunnel (~tens of ms
+            # round-trip), which swamps sub-50 ms segments if paid per
+            # step — amortize it, then divide out
+            for _ in range(chain):
+                out = jitted(*args_now)
+                if donate:
+                    args_now = refresh(args_now, out)
             first = jax.tree_util.tree_leaves(out)[0]
             np.asarray(jax.device_get(first.ravel()[:1]))
-            times.append(time.time() - t0)
-            if donate:
-                args_now = refresh(args_now, out)
+            times.append((time.time() - t0) / chain)
         best = min(times)
         row = {"ms": round(best * 1e3, 1),
                "compile_s": round(compile_s, 1)}
+        if chain > 1:
+            row["chain"] = chain
         if flops:
             row["tflops"] = round(flops / 1e12, 2)
             row["flops_floor_ms"] = round(flops / PEAK_FLOPS * 1e3, 1)
@@ -160,6 +173,11 @@ def main():
         results[name] = row
         print(f"# {name:10s} {json.dumps(row)}", file=sys.stderr)
         return out
+
+    # ---- tunnel/dispatch constant: a trivial op under the same barrier
+    # (subtract this from sub-50 ms segments when reading the table) ----
+    if wanted("null"):
+        timed("null", lambda x: x + 1.0, jnp.ones((8,), jnp.float32))
 
     # ---- full step (donated, bench.py parity) ----
     def full_step(p, o, b, k):
@@ -191,7 +209,8 @@ def main():
             updates, o = opt.update(g, o, p)
             return optax.apply_updates(p, updates), o
 
-        timed("opt", opt_only, params, opt_state, grads, donate=(0, 1))
+        timed("opt", opt_only, params, opt_state, grads, donate=(0, 1),
+              chain=8)
         params = model.init_params(jax.random.PRNGKey(0))
         opt_state = opt.init(params)
 
@@ -258,7 +277,7 @@ def main():
             return sum(jnp.sum(v ** 2) for v in c.values())
 
         timed("cond", lambda p, d: jax.grad(cond_loss)(p, d), params,
-              dropped)
+              dropped, chain=8)
 
     if args.uncached and wanted("full_uncached"):
         timed("full_uncached", full_step, params, opt_state, batch, key,
