@@ -145,7 +145,13 @@ class Convofusion:
                 cfg.model.audio_encoder)
             self.condition_fuser = TextAudioMotionFuser(
                 out_dim=int(cfg.model.denoiser.params.text_encoded_dim))
-            self.denoiser = instantiate_from_config(cfg.model.denoiser)
+            extra = {}
+            if bool(cfg.get("TPU", {}).get("REMAT", False)):
+                # per-layer gradient rematerialization in the train step
+                # (see ops/transformer.py DenoiserDecoder.remat)
+                extra["remat"] = True
+            self.denoiser = instantiate_from_config(
+                cfg.model.denoiser, **extra)
 
             def _sched(block):
                 params = dict(block.params)

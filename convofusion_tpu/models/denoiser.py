@@ -53,6 +53,7 @@ class Denoiser(nn.Module):
     # batch the five cross-attention streams into one padded attention
     # (ops/fused_streams.py) — identical math, far better MXU utilization
     fuse_streams: bool = False
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -75,6 +76,7 @@ class Denoiser(nn.Module):
         if self.arch == "trans_dec":
             decoder_cls = (FusedDenoiserDecoder if self.fuse_streams
                            else DenoiserDecoder)
+            extra = {} if self.fuse_streams else {"remat": self.remat}
             self.decoder = decoder_cls(
                 d_model=d,
                 num_layers=self.num_layers,
@@ -85,6 +87,7 @@ class Denoiser(nn.Module):
                 normalize_before=self.normalize_before,
                 dtype=self.dtype,
                 name="decoder",
+                **extra,
             )
         else:
             # legacy 'trans_enc' ablation: concat-conditioning through a

@@ -99,6 +99,7 @@ def build_denoiser(
     audio_encoded_dim: int = 512,
     nclasses: int = 10,
     fuse_streams: bool = False,
+    remat: bool = False,
     compute_dtype="float32",
     **_: object,
 ) -> Denoiser:
@@ -132,6 +133,7 @@ def build_denoiser(
         audio_encoded_dim=int(audio_encoded_dim),
         nclasses=int(nclasses),
         fuse_streams=bool(fuse_streams),
+        remat=bool(remat),
         dtype=_dtype(compute_dtype),
     )
 

@@ -522,10 +522,23 @@ class DenoiserDecoder(nn.Module):
     activation: str = "gelu"
     normalize_before: bool = True
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
+        layer_cls = TransformerDecoderLayer2Att
+        if self.remat:
+            # rematerialize each layer's internals in the backward pass
+            # (TPU.REMAT): only the (B, Tq, D) layer inputs are saved and
+            # the layer body is recomputed during backprop — trades ~1/3
+            # extra forward FLOPs for the residual-activation HBM round
+            # trips the train-step roofline shows the step is bound by
+            # (docs/BENCHMARKS.md §roofline).  Numerics are identical;
+            # only __call__ (the training forward) is transformed — the
+            # sampling paths (guided/forward_kv) never differentiate.
+            layer_cls = nn.remat(
+                TransformerDecoderLayer2Att, static_argnums=(5,))
         self.layers = [
-            TransformerDecoderLayer2Att(
+            layer_cls(
                 self.d_model, self.nhead, self.dim_feedforward,
                 self.dropout, self.activation, self.normalize_before,
                 dtype=self.dtype, name=f"layers_{i}")

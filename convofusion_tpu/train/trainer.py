@@ -45,10 +45,31 @@ def make_optimizer(cfg, stage=None) -> optax.GradientTransformation:
         raise NotImplementedError(
             "Do not support other optimizer for now.")  # convofusion.py:111
     # torch.optim.AdamW defaults (the reference passes only lr,
-    # convofusion.py:112-113): betas (0.9, 0.999), eps 1e-8, wd 1e-2
+    # convofusion.py:112-113): betas (0.9, 0.999), eps 1e-8, wd 1e-2.
+    # Beyond parity: TRAIN.OPTIM.SCHEDULE (constant | cosine with
+    # WARMUP_STEPS / DECAY_STEPS / END_LR_FACTOR) and
+    # TRAIN.OPTIM.GRAD_CLIP (global-norm, 0 = off) — schedule-free
+    # constant LR remains the reference-parity default.
+    optim = cfg.TRAIN.OPTIM
+    lr = float(optim.LR)
+    sched = str(optim.get("SCHEDULE", "constant")).lower()
+    if sched == "constant":
+        lr_s = lr
+    elif sched == "cosine":
+        warm = int(optim.get("WARMUP_STEPS", 0))
+        decay = int(optim.get("DECAY_STEPS", 10_000))
+        lr_s = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warm else lr, peak_value=lr,
+            warmup_steps=warm, decay_steps=decay,
+            end_value=lr * float(optim.get("END_LR_FACTOR", 0.0)))
+    else:
+        raise NotImplementedError(
+            f"TRAIN.OPTIM.SCHEDULE={sched!r} (constant | cosine)")
     adamw = optax.adamw(
-        float(cfg.TRAIN.OPTIM.LR),
-        weight_decay=float(cfg.TRAIN.OPTIM.get("WEIGHT_DECAY", 1e-2)))
+        lr_s, weight_decay=float(optim.get("WEIGHT_DECAY", 1e-2)))
+    clip = float(optim.get("GRAD_CLIP", 0.0))
+    if clip:
+        adamw = optax.chain(optax.clip_by_global_norm(clip), adamw)
     if stage is None:
         return adamw
     return optax.multi_transform(
