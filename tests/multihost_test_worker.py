@@ -75,15 +75,19 @@ cfg = {
 cfg_path = os.path.join(WORKDIR, f"test_cfg_{NPROCS}_{PID}.yaml")
 with open(cfg_path, "w") as f:
     yaml.safe_dump(cfg, f)
-assets_path = os.path.join(WORKDIR, "assets.yaml")
-if not os.path.exists(assets_path):
-    with open(assets_path, "w") as f:
-        yaml.safe_dump({}, f)
+# start from the PACKAGED defaults (not {}): the text-encoder module
+# yaml interpolates ${model.t5_path}, which only assets.yaml defines
+# (same recipe as train/overfit.py::write_cfg)
+from convofusion_tpu.config import DEFAULTS_DIR  # noqa: E402
 
+with open(os.path.join(DEFAULTS_DIR, "assets.yaml")) as f:
+    assets = yaml.safe_load(f)
+assets["DATASET"]["BEATDND"]["ROOT"] = [beat, dnd]
+assets["DATASET"]["BEATDND"]["SPLIT_ROOT"] = [beat, dnd]
+assets["FOLDER"] = os.path.join(WORKDIR, "experiments")
+assets["TEST"] = {"FOLDER": os.path.join(WORKDIR, "results", name)}
 # module yamls merge AFTER the experiment yaml; scheduler override must
 # ride the assets file (reference config.py:80-82)
-with open(assets_path) as f:
-    assets = yaml.safe_load(f) or {}
 assets.setdefault("model", {})["scheduler"] = {
     "variant": "ddim", "num_inference_timesteps": 3}
 assets_path = os.path.join(WORKDIR, f"test_assets_{NPROCS}.yaml")
