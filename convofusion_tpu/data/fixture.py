@@ -30,13 +30,37 @@ _WORDS = ("hello there friend this is a story about brave knights and "
 # information is at most R*2K coefficients (here 32)
 _LOWRANK_R = 4   # mixing rank
 _LOWRANK_K = 4   # temporal modes
+_LOWRANK_AMP = 3200.0  # drift amplitude in mm-basis units (see below)
 
 
 def _lowrank_globals(njoints: int):
     g = np.random.default_rng(20260819)
     base = g.uniform(-400, 400, size=(1, njoints, 3))
     base[0, :, 1] = g.uniform(800, 1600, size=njoints)  # above floor
+    # the canonicalization (data/dataset.py::process_motion) derives a
+    # per-clip face-Z+ rotation from frame-0 hips/shoulders (raw joints
+    # 18/13/9/5 -> same indices after the 67->63 cut) and a floor height
+    # from the min joint; with a fully random rest pose the hip+shoulder
+    # "across" axis can be near-vertical, making the facing rotation
+    # chaotically sensitive to the per-clip drift — the shared rest pose
+    # then lands rotated differently in every clip (cross-clip std ~4x
+    # the motion std), which is per-clip information the fixture never
+    # budgeted.  Structure those joints so the rotation is
+    # well-conditioned (wide horizontal across axis => tiny per-clip
+    # angle) and pin root + floor for stability:
+    base[0, 18] = (-350.0, 950.0, 0.0)    # r_hip
+    base[0, 13] = (350.0, 950.0, 0.0)     # l_hip
+    base[0, 9] = (-450.0, 1400.0, 0.0)    # r_shoulder
+    base[0, 5] = (450.0, 1400.0, 0.0)     # l_shoulder
+    base[0, 0] = (0.0, 1000.0, 0.0)       # root
+    base[0, 20, 1] = 50.0                 # stable floor-min joint
     mix = g.normal(size=(njoints * 3, _LOWRANK_R))
+    # static root and floor joint: the VAE destroys per-chunk root-xz
+    # offsets by construction (encode normalization) and the floor
+    # subtraction keys on the min joint — drift on either would add
+    # irreducible error / per-clip jitter the overfit can't remove
+    mix[0 * 3:1 * 3] = 0.0
+    mix[20 * 3:21 * 3] = 0.0
     mix /= np.linalg.norm(mix, axis=0, keepdims=True)
     freqs = g.uniform(0.3, 1.2, size=_LOWRANK_K)        # Hz
     phase = g.uniform(0, 2 * np.pi, size=_LOWRANK_K)
@@ -59,7 +83,7 @@ def _skeleton_motion(rng, frames: int, njoints: int = 67,
     base + mix @ B @ S(t) where the rest pose `base`, the (201, R)
     mixing basis `mix` and the K continuous-time sinusoid modes S are
     FIXED across clips; only the (R, K) coefficient matrix B is drawn
-    per clip.  Per-clip information = R*K = 36 numbers — below even a
+    per clip.  Per-clip information = R*K = 16 numbers — below even a
     single chunk's token capacity in the overfit preset (2 tokens x
     32 dims), so a correct model CAN drive recon to ~zero.  Used by the
     learning-loop overfit (train/overfit.py).
@@ -70,11 +94,22 @@ def _skeleton_motion(rng, frames: int, njoints: int = 67,
         modes = np.sin(2 * np.pi * freqs[:, None] * t[None]
                        + phase[:, None])            # (K, frames)
         coef = rng.normal(size=(_LOWRANK_R, _LOWRANK_K))
-        # amplitude chosen so the per-clip motion variance is comparable
-        # to the static cross-joint pose spread after canonicalization —
-        # otherwise a model could score near-zero relative recon RMSE by
-        # memorizing the (shared) rest pose and ignoring the motion
-        drift = (mix @ coef @ modes) * 800.0         # ~100 mm rms
+        # amplitude: canonicalized per-clip motion lands at std ~2.0.
+        # Measured escape dynamics (TPU diag, shipped loss, lr 1e-3,
+        # full-batch): every variant — including a KL-free pure
+        # autoencoder — sits in a mean-prediction saddle for ~800 steps
+        # (the decoder fits the shared rest pose first and only then
+        # discovers the latent); what the amplitude sets is the
+        # steepness of the escape, because the encoder's recon gradient
+        # must clear the unit-variance reparameterization noise floor.
+        # At std ~0.5 (amp 800) the sampled VAE needs >5k steps
+        # (relRMSE 0.81-0.97 @ 2k); at std ~2.0 (amp 3200) the shipped
+        # recipe reaches relRMSE 0.12 @ 2k steps and keeps descending.
+        # (Round 4 additionally shipped the BEAT write-side layout bug —
+        # see _to_beat_file_layout — which scrambled joints and inflated
+        # the canonical std to ~5.3 with per-clip static poses, the
+        # round-4 "doesn't learn" finding.)
+        drift = (mix @ coef @ modes) * _LOWRANK_AMP
         drift = drift.T.reshape(frames, njoints, 3)
         return (base + drift).astype(np.float32)
     base = rng.uniform(-400, 400, size=(1, njoints, 3))
@@ -90,6 +125,19 @@ def _skeleton_motion(rng, frames: int, njoints: int = 67,
             rng.normal(scale=scale_mm / 50, size=(frames, njoints, 3)),
             axis=0)
     return (base + drift).astype(np.float32)
+
+
+def _to_beat_file_layout(motion_mm: np.ndarray) -> np.ndarray:
+    """Write-side inverse of the BEAT loader contract: the loader
+    reorders joints root-first ([3,0,1,2,4,...]) and converts cm->mm
+    (x10) (data/dataset.py:234-236, reference dataset.py:161-162), so a
+    BEAT .npy holding the same skeleton as a DnD .npy (mm, root at 0)
+    must be stored permuted [1,2,3,0,4,...] and in cm.  Without this the
+    BEAT fixture clips land 10x the DnD scale with scrambled face-joint
+    indices, and the canonicalized static pose stops being shared across
+    the two sources."""
+    idx = [1, 2, 3, 0] + list(range(4, motion_mm.shape[1]))
+    return (motion_mm[:, idx] / 10.0).astype(np.float32)
 
 
 def _speech_audio(rng, n_samples: int, sr: int, active: bool = True):
@@ -117,8 +165,9 @@ def make_beat_fixture(root: str, speakers=("2_scott", "4_lawrence"),
             name = f"{spk_id}_{spk.split('_')[1]}_0_{i}_{i}"
             frames = int(seconds * fps)
             np.save(pjoin(d, name + ".npy"),
-                    _skeleton_motion(rng, frames, mode=motion_mode,
-                                     fps=fps))
+                    _to_beat_file_layout(
+                        _skeleton_motion(rng, frames, mode=motion_mode,
+                                         fps=fps)))
             n_samples = int(seconds * sr)
             save_wav(pjoin(d, name + ".wav"),
                      _speech_audio(rng, n_samples, sr), sr)

@@ -76,7 +76,7 @@ class Denoiser(nn.Module):
         if self.arch == "trans_dec":
             decoder_cls = (FusedDenoiserDecoder if self.fuse_streams
                            else DenoiserDecoder)
-            extra = {} if self.fuse_streams else {"remat": self.remat}
+            extra = {"remat": self.remat}
             self.decoder = decoder_cls(
                 d_model=d,
                 num_layers=self.num_layers,

@@ -532,11 +532,14 @@ class DenoiserDecoder(nn.Module):
             # the layer body is recomputed during backprop — trades ~1/3
             # extra forward FLOPs for the residual-activation HBM round
             # trips the train-step roofline shows the step is bound by
-            # (docs/BENCHMARKS.md §roofline).  Numerics are identical;
+            # (docs/BENCHMARKS.md "Roofline").  Numerics are identical;
             # only __call__ (the training forward) is transformed — the
             # sampling paths (guided/forward_kv) never differentiate.
+            # static_argnums counts call args with self excluded as -1:
+            # (5, 6) = query_pos (may be None) and the deterministic bool
+            # (a traced bool would crash nn.Dropout).
             layer_cls = nn.remat(
-                TransformerDecoderLayer2Att, static_argnums=(5,))
+                TransformerDecoderLayer2Att, static_argnums=(5, 6))
         self.layers = [
             layer_cls(
                 self.d_model, self.nhead, self.dim_feedforward,
@@ -694,17 +697,23 @@ class FusedDenoiserDecoder(nn.Module):
     activation: str = "gelu"
     normalize_before: bool = True
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, tgt, memory, time_embed, mem_masks=None,
                  query_pos=None, deterministic: bool = True):
         from convofusion_tpu.ops.fused_streams import pad_stream_stack
 
+        # same remat contract as DenoiserDecoder: (5, 6) = query_pos +
+        # the deterministic bool, counted with self excluded as -1
+        layer_cls = (nn.remat(FusedTransformerDecoderLayer2Att,
+                              static_argnums=(5, 6))
+                     if self.remat else FusedTransformerDecoderLayer2Att)
         mem_stack, pad_stack, lengths = pad_stream_stack(memory, mem_masks)
         out = tgt
         per_layer = []
         for i in range(self.num_layers):
-            out, w = FusedTransformerDecoderLayer2Att(
+            out, w = layer_cls(
                 self.d_model, self.nhead, self.dim_feedforward,
                 self.dropout, self.activation, self.normalize_before,
                 dtype=self.dtype, name=f"layers_{i}")(

@@ -225,7 +225,18 @@ def reproduction_metrics(dump_dir):
 # -------------------------------------------------------------------- driver
 def run(workdir, *, scale="small", vae_epochs=400, diff_epochs=1500,
         vae_batch=7, diff_batch=8, vae_lr=1e-3, diff_lr=3e-4,
-        infer_steps=50, eval_untrained=True, log=print):
+        infer_steps=50, eval_untrained=True, log=print,
+        thresholds=None):
+    """Two-stage overfit proof.  ``thresholds`` (optional) is a dict of
+    hard pass criteria checked at the end, e.g.::
+
+        {"vae_recon_rel_rmse": 0.30,      # upper bound
+         "repro_retrieval_top1": 0.99,    # lower bound
+         "repro_margin": 2.0}             # lower bound
+
+    On any violation an AssertionError lists every failed criterion.
+    The full result dict is always persisted to
+    ``<workdir>/overfit_result.json`` (committed artifact material)."""
     from convofusion_tpu.cli.test import main as test_main
     from convofusion_tpu.cli.train import main as train_main
     from convofusion_tpu.eval.run import evaluate_results
@@ -297,7 +308,30 @@ def run(workdir, *, scale="small", vae_epochs=400, diff_epochs=1500,
         out["eval_untrained"] = _run_eval(unt_dir, evaluate_results)
         out["repro_untrained"] = reproduction_metrics(unt_dir)
         log(f"eval (untrained): {out['eval_untrained']}")
+
+    with open(os.path.join(workdir, "overfit_result.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    if thresholds:
+        _check_thresholds(out, thresholds)
     return out
+
+
+def _check_thresholds(out, thresholds):
+    """Upper bounds for *_rmse / *loss keys, lower bounds otherwise."""
+    flat = dict(out)
+    for k, v in (out.get("repro") or {}).items():
+        flat[f"repro_{k}"] = v
+    failures = []
+    for key, bound in thresholds.items():
+        val = flat.get(key)
+        upper = ("rmse" in key) or ("loss" in key)
+        if val is None:
+            failures.append(f"{key}: missing from results")
+        elif upper and not val <= bound:
+            failures.append(f"{key}: {val:.4f} > {bound} (upper bound)")
+        elif not upper and not val >= bound:
+            failures.append(f"{key}: {val:.4f} < {bound} (lower bound)")
+    assert not failures, "overfit thresholds failed: " + "; ".join(failures)
 
 
 def _run_eval(result_dir, evaluate_results):

@@ -18,7 +18,7 @@ tunnel ``block_until_ready`` can return before execution completes —
 docs/BENCHMARKS.md measurement note).
 
 Run (v5e):  python scripts/train_roofline.py --batch 1024
-Results + the floor argument live in docs/BENCHMARKS.md §training.
+Results + the floor argument live in docs/BENCHMARKS.md "Roofline".
 """
 import argparse
 import json
@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--segments", default="all",
                     help="comma list of segments to run "
                          "(full,fwd,grad,opt,denoiser,denoiser_fwd,cond)")
+    ap.add_argument("--remat", action="store_true",
+                    help="TPU.REMAT=true: per-layer gradient "
+                         "rematerialization in the denoiser stack")
     args = ap.parse_args()
     want = (None if args.segments == "all"
             else set(args.segments.split(",")))
@@ -80,6 +83,8 @@ def main():
         cfg.DATASET.NJOINTS = 63
     for blk in ("denoiser", "motion_vae", "text_encoder", "audio_encoder"):
         cfg.model[blk].params["compute_dtype"] = args.dtype
+    if args.remat:
+        cfg.TPU.REMAT = True  # base.yaml defines the TPU block
 
     model = Convofusion(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
