@@ -175,10 +175,19 @@ def main(argv=None):
         print(f"results saved to {out_dir}")
     if jax.process_count() > 1:
         # hold every host until process 0 finishes its writes, so a
-        # caller seeing THIS process exit can rely on the artifacts
-        from jax.experimental import multihost_utils
+        # caller seeing THIS process exit can rely on the artifacts.
+        # A HOST barrier on the coordination service, NOT a device
+        # collective: the generation loop above is collective-free and
+        # per-host, so hosts arrive here whole batches apart — a
+        # sync_global_devices would have to cold-initialize the gloo
+        # context (CPU backend) inside its hard ~30 s rendezvous window
+        # and dies on any real skew (measured: one 1-CPU batch is
+        # 15-35 s).  The coordination client is already connected and
+        # takes an explicit timeout sized to the workload.
+        from jax._src import distributed
 
-        multihost_utils.sync_global_devices("convofusion_test_end")
+        distributed.global_state.client.wait_at_barrier(
+            "convofusion_test_end", timeout_in_ms=1_800_000)
     return out_dir
 
 
