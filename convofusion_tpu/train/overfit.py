@@ -17,8 +17,12 @@ Protocol (all through the real entry points, no shortcuts):
      initialization (the learning signal in metric space).
 
 Run:  python -m convofusion_tpu.train.overfit --workdir /tmp/overfit \
-          [--scale prod|small] [--platform cpu]
-Used by tests/test_learning.py (slow tier) with the ``small`` preset.
+          [--scale prod|small] [--platform cpu] [--assert-thresholds]
+~25 min on a v5e chip at the defaults; hours on a 1-CPU host (the CPU
+slow tier runs the stage-1 slice instead — tests/test_learning.py).
+The committed artifact of a passing run: docs/artifacts/
+overfit_result.json.  Recipe derivation + measured escape curves:
+docs/BENCHMARKS.md "Learning loop".
 """
 from __future__ import annotations
 
@@ -104,7 +108,6 @@ def write_cfg(root, beat, dnd, name, *, stage, epochs, batch, lr,
             "SACE_CHECKPOINT_EPOCH": max(epochs, 1),
             "VAL_EVERY_STEPS": 0,
         },
-        "model": dict(SCALES[scale]),
     }
     if scale == "small":
         cfg["TPU"] = {"TEXT_PAD_LEN": 16}
@@ -127,11 +130,36 @@ def write_cfg(root, beat, dnd, name, *, stage, epochs, batch, lr,
     assets["FOLDER"] = os.path.join(root, "experiments")
     assets["TEST"] = {"FOLDER": os.path.join(root, "results")}
     # module yamls merge AFTER the experiment yaml (reference
-    # config.py:80-82): scheduler/guidance overrides ride the assets file
+    # config.py:80-82), so EVERY model override — the SCALES geometry,
+    # the scheduler, extra["model"] — must ride the assets file (merged
+    # last) or the packaged module defaults silently clobber it.  That
+    # clobber was real: rounds 4-5 "small" runs trained the production
+    # 9L/512 denoiser WITH dropout 0.1 instead of the intended 3L/64
+    # dropout-0 geometry, which is what buried the conditioning signal
+    # (docs/BENCHMARKS.md "Learning loop").
+    def merge_model(a, b):
+        for k, v in b.items():
+            if isinstance(v, dict) and isinstance(a.get(k), dict):
+                merge_model(a[k], v)
+            else:
+                a[k] = v
+    merge_model(assets.setdefault("model", {}), SCALES[scale])
+    # clip_sample=false: the production default (reference
+    # configs/modules/scheduler.yaml:11 "clip sample to -1~1") assumes a
+    # KL-regularized latent scale; the overfit VAE trains at base.yaml's
+    # LAMBDA_KL=1e-5, so its latents are recon-optimal, NOT prior-bound
+    # (measured mu RMS 1.71, values to ~4).  With clipping on, every
+    # DDIM step crushes the predicted x0 into the +-1 box and samples
+    # can never reach any clip's mode — repro sat at top1 0.375/margin
+    # 1.30 from a denoiser that had ALREADY hit the conditional-perfect
+    # loss floor (0.2705 vs floor 0.258; cond-ignored floor 0.461).
+    # Same checkpoint, clipping off: top1 1.0, margin 7.9.  Full
+    # derivation: docs/BENCHMARKS.md "Learning loop".
     assets["model"]["scheduler"] = {
-        "variant": "ddim", "num_inference_timesteps": infer_steps}
+        "variant": "ddim", "num_inference_timesteps": infer_steps,
+        "params": {"clip_sample": False}}
     if extra and "model" in extra:
-        assets.setdefault("model", {}).update(extra["model"])
+        merge_model(assets["model"], extra["model"])
     with open(assets_path, "w") as f:
         yaml.safe_dump(assets, f)
     return path, assets_path
@@ -222,9 +250,23 @@ def reproduction_metrics(dump_dir):
     }
 
 
+# validated pass criteria at the default budgets (docs/BENCHMARKS.md
+# "Learning loop"; the live run and the committed artifact are checked
+# against the SAME dict — tests/test_learning.py)
+DEFAULT_THRESHOLDS = {
+    "vae_recon_rel_rmse": 0.15,    # upper; measured 0.090 @ 2000 epochs
+    "repro_retrieval_top1": 0.99,  # lower; every sample retrieves its pair
+    "repro_margin": 3.0,           # lower; vs-others / vs-own RMSE ratio
+    # measured at the defaults (v5e, committed artifact): 0.108 / 1.0 /
+    # 5.92 @ diff 10k constant lr 1e-3; 0.081 / 1.0 / 7.94 @ 20k cosine.
+    # A conditioning-blind denoiser scores top1~chance (0.125), margin
+    # ~1.0 (the committed artifact's repro_untrained row).
+}
+
+
 # -------------------------------------------------------------------- driver
-def run(workdir, *, scale="small", vae_epochs=400, diff_epochs=1500,
-        vae_batch=7, diff_batch=8, vae_lr=1e-3, diff_lr=3e-4,
+def run(workdir, *, scale="small", vae_epochs=2000, diff_epochs=10000,
+        vae_batch=7, diff_batch=8, vae_lr=1e-3, diff_lr=1e-3,
         infer_steps=50, eval_untrained=True, log=print,
         thresholds=None):
     """Two-stage overfit proof.  ``thresholds`` (optional) is a dict of
@@ -354,11 +396,14 @@ def main(argv=None):
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--scale", default="small", choices=sorted(SCALES))
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--vae-epochs", type=int, default=400)
-    ap.add_argument("--diff-epochs", type=int, default=1500)
+    ap.add_argument("--vae-epochs", type=int, default=2000)
+    ap.add_argument("--diff-epochs", type=int, default=10000)
     ap.add_argument("--vae-lr", type=float, default=1e-3)
-    ap.add_argument("--diff-lr", type=float, default=3e-4)
+    ap.add_argument("--diff-lr", type=float, default=1e-3)
     ap.add_argument("--infer-steps", type=int, default=50)
+    ap.add_argument("--assert-thresholds", action="store_true",
+                    help="fail (nonzero exit) unless the run clears "
+                         "DEFAULT_THRESHOLDS")
     args = ap.parse_args(argv)
     if args.platform:
         import jax
@@ -366,7 +411,9 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     out = run(args.workdir, scale=args.scale, vae_epochs=args.vae_epochs,
               diff_epochs=args.diff_epochs, vae_lr=args.vae_lr,
-              diff_lr=args.diff_lr, infer_steps=args.infer_steps)
+              diff_lr=args.diff_lr, infer_steps=args.infer_steps,
+              thresholds=DEFAULT_THRESHOLDS if args.assert_thresholds
+              else None)
     print(json.dumps(out, indent=2))
     return out
 

@@ -33,13 +33,95 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
+def trained_main(workdir, ckpt):
+    """Trained-weights sampler-quality protocol (VERDICT r4 item 4).
+
+    Uses the learning-loop overfit fixture + a TRAINED stage-2
+    checkpoint (train/overfit.py) instead of seeded random weights, and
+    answers the deployment question in sample space that now MEANS
+    something: do the fast samplers reproduce the paired training
+    motions as well as the ddim-50 production mode does?
+
+    Per variant (ddim-50 / dpmpp_2m-20 / dpmpp_2m-15 / ddpm-1000), runs
+    the REAL cli/test dump (guidance off: the conditional distribution
+    itself) and reports reproduction_metrics vs the paired gt plus
+    per-sample motion RMSE vs the ddim-50 dump (same seed => same init
+    noise; deterministic integrators => direct truncation-error
+    comparison).  Results in docs/BENCHMARKS.md "Fast-sampling".
+    """
+    import glob as _glob
+
+    import numpy as np
+
+    from convofusion_tpu.cli.test import main as test_main
+    from convofusion_tpu.train.overfit import (
+        reproduction_metrics,
+        write_cfg,
+    )
+
+    beat = os.path.join(workdir, "beat")
+    dnd = os.path.join(workdir, "dnd")
+    assert os.path.isdir(beat) and os.path.isdir(ckpt), (beat, ckpt)
+
+    def dump(variant, steps):
+        cfgr, assetsr = write_cfg(
+            workdir, beat, dnd, f"squal_{variant}_{steps}",
+            stage="diffusion", epochs=1, batch=8, lr=1e-3, scale="small",
+            infer_steps=steps,
+            extra={"TEST": {"CHECKPOINTS": ckpt},
+                   "model": {"guidance_scale": 1.0,
+                             "scheduler": {
+                                 "variant": variant,
+                                 "num_inference_timesteps": steps}}})
+        d = test_main(["--cfg", cfgr, "--cfg_assets", assetsr])
+        dirs = sorted(p for p, _, fs in os.walk(d) if "pred.npy" in fs)
+        preds = np.stack([np.load(os.path.join(p, "pred.npy"))
+                          for p in dirs])
+        return d, preds
+
+    out = {}
+    preds = {}
+    for name, variant, steps in [
+        ("ddim50", "ddim", 50),
+        ("dpmpp20", "dpmpp_2m", 20),
+        ("dpmpp15", "dpmpp_2m", 15),
+        ("ddpm1000", "ddpm", 1000),
+    ]:
+        d, p = dump(variant, steps)
+        preds[name] = p.astype(np.float64)
+        out[name] = {"repro": reproduction_metrics(d)}
+        print(f"# {name}: {out[name]['repro']}", file=sys.stderr)
+
+    std50 = preds["ddim50"].std()
+    for name in out:
+        out[name]["motion_rmse_vs_ddim50_over_std"] = round(float(
+            np.sqrt(((preds[name] - preds["ddim50"]) ** 2).mean())
+            / std50), 4)
+    print(json.dumps(out, indent=2))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--trained-workdir", default=None,
+                    help="learning-loop overfit workdir (fixture inside);"
+                         " switches to the trained-weights protocol")
+    ap.add_argument("--trained-ckpt", default=None,
+                    help="trained stage-2 checkpoint dir (with "
+                         "--trained-workdir)")
     args = ap.parse_args()
+
+    if args.trained_workdir:
+        import jax
+
+        if args.platform:
+            jax.config.update("jax_platforms", args.platform)
+        trained_main(args.trained_workdir, args.trained_ckpt)
+        return
 
     import jax
 
