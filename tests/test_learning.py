@@ -29,7 +29,9 @@ import os
 
 import pytest
 
-pytestmark = pytest.mark.slow
+# NOTE: no module-level slow mark — the artifact-threshold consistency
+# check below is sub-second and belongs in the fast tier; the two
+# training tests carry their own @pytest.mark.slow.
 
 
 @pytest.mark.slow
